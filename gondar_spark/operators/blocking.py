@@ -1,0 +1,113 @@
+"""B6/B7: MinHash/LSH blocking + candidate pair generation — pure
+DataFrame ops, fully JVM-side, deterministic.
+
+Hand-rolled (SURVEY.md §2B B6) instead of pyspark.ml MinHashLSH so that
+(a) hashing is md5-based and reproducible in the DuckDB oracle
+character-for-character, and (b) there is no Python in the hot path.
+The python mirror (extraction.spec.band_keys) computes the identical
+keys — the fixture generator validates alias clusters against it.
+
+Plan shape / scale notes:
+  * char-3-gram explode -> ONE groupBy(norm) computing all H min-hashes
+    as conditional aggregates (single shuffle, map-side partial min);
+  * band keys derived in-row from the H signature columns (no shuffle);
+  * blocks self-joined on band_key with norm_a < norm_b; AQE skew-join
+    handles hot bands; an optional block-size cap drops degenerate
+    mega-blocks (standard LSH guard at web scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_array(col: str = "norm", n: int = 3):
+    """Distinct char n-grams as an array column; mirrors
+    extraction.spec.char_ngrams (short strings -> themselves)."""
+    c = F.col(col)
+    return (
+        F.when(F.length(c) == 0, F.array(F.lit("")))
+        .when(F.length(c) < n, F.array(c))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.length(c) - n),
+                    lambda i: c.substr(i + 1, F.lit(n)),
+                )
+            )
+        )
+    )
+
+
+def minhash_signature_df(
+    mentions: DataFrame,
+    n_hashes: int = 16,
+    seed: int = 1001,
+    ngram: int = 3,
+) -> DataFrame:
+    """(norm) -> (norm, grams, h0..h{H-1}).
+
+    h_k = min over grams of md5('{seed}:{k}:{gram}') — identical to the
+    python/DuckDB mirror; hex md5 preserves order under string min.
+    """
+    grams = mentions.select("norm").distinct().withColumn("grams", gram_array())
+    exploded = grams.select("norm", F.explode("grams").alias("g"))
+    hashed = exploded.select(
+        "norm",
+        *[
+            F.md5(
+                F.concat(F.lit(f"{seed}:{k}:"), F.col("g")).cast("binary")
+            ).alias(f"h{k}")
+            for k in range(n_hashes)
+        ],
+    )
+    sig = hashed.groupBy("norm").agg(
+        *[F.min(f"h{k}").alias(f"h{k}") for k in range(n_hashes)]
+    )
+    return sig.join(grams, "norm")
+
+
+def band_keys_df(sig: DataFrame, n_hashes: int = 16, bands: int = 8) -> DataFrame:
+    """signature columns -> exploded (norm, band_key) block table."""
+    rows = n_hashes // bands
+    keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    ).cast("binary")
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("norm", F.explode(keys).alias("band_key"))
+
+
+def candidate_pairs(
+    blocks: DataFrame, max_block_size: int | None = 10_000
+) -> DataFrame:
+    """B7: self-equi-join on band_key -> distinct (norm_a < norm_b) pairs.
+
+    max_block_size drops degenerate mega-blocks (a block of size s yields
+    s^2/2 pairs — at 10^12 files a runaway block is a job-killer; the cap
+    bounds the quadratic term and is logged by the pipeline, never silent).
+    """
+    if max_block_size is not None:
+        sizes = blocks.groupBy("band_key").agg(F.count("*").alias("_bs"))
+        blocks = (
+            blocks.join(sizes, "band_key")
+            .filter(F.col("_bs") <= max_block_size)
+            .drop("_bs")
+        )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("a.norm") < F.col("b.norm"))
+        .select(F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b"))
+        .distinct()
+    )

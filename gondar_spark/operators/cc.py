@@ -1,0 +1,96 @@
+"""B9: connected components via alternating large-star / small-star —
+the canonicalization step (SURVEY.md §2B), no GraphFrames dependency.
+
+Algorithm: Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC'14) — alternating rounds converge in O(log^2 n); each round is two
+groupBy shuffles. Node ids are strings (normalized mention forms); the
+component label is the MINIMUM member, so canonical ids are
+partition-order independent (determinism rule, SURVEY.md §7).
+
+Scale notes: `localCheckpoint` after every round truncates the lineage
+(iterative joins otherwise stack query plans until the optimizer chokes);
+convergence is detected by an edge-checksum aggregate, not a collect of
+the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import StageError
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u, attach every neighbor v > u to m = min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges downward; attach each node's smaller neighbors (and
+    itself) to the minimum of its downward neighborhood."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    attach_nbrs = (
+        oriented.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    attach_self = m.select("src", F.col("m").alias("dst"))
+    return (
+        attach_nbrs.union(attach_self)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, checkpoint: bool = True
+) -> DataFrame:
+    """edges(norm_a, norm_b) -> labels(norm, component) for every node
+    that appears in an edge; component = min member of the component.
+
+    Callers union in singleton nodes afterwards (materialize.py)."""
+    e = (
+        edges.select(F.col("norm_a").alias("src"), F.col("norm_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint()
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e))
+        if checkpoint:
+            e = e.localCheckpoint()
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise StageError(f"connected components did not converge in {max_iter} rounds")
+    # converged edge set is (node -> component-min) stars
+    labels = e.select(F.col("src").alias("norm"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("norm")).distinct().withColumn(
+        "component", F.col("norm")
+    )
+    return labels.union(roots).distinct()

