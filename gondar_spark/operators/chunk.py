@@ -31,7 +31,7 @@ def chunk_content(df: DataFrame, chunk_lines: int = 64,
     n_lines = F.size(lines)
     n_chunks = F.ceil(n_lines / F.lit(chunk_lines)).cast("int")
     chunks = F.when(
-        F.length(F.trim(F.col("content"))) == 0, F.array().cast("array<string>")
+        ~F.col("content").rlike(r"\S"), F.array().cast("array<string>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),

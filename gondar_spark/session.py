@@ -17,6 +17,8 @@ falls back to parquet + snapshot manifests behind the same interface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -31,6 +33,17 @@ def build_session(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    # ship ourselves to the Python workers: the mapInPandas closures import
+    # gondar_spark, so the package root must be importable worker-side.
+    # Local mode: inherit via PYTHONPATH. Cluster mode: users additionally
+    # pass the zipped package via `spark-submit --py-files` (north rule,
+    # /root/repo/BASELINE.json:14).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{py_path}" if py_path else pkg_root
+        )
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",

@@ -1,0 +1,199 @@
+"""Spark operator unit tests: chunking, extraction parity, blocking parity
+with the pure-python mirror, scoring, connected components."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gondar_spark.extraction.spec import (
+    band_keys,
+    char_ngrams,
+    jaccard,
+    minhash_signature,
+)
+from gondar_spark.operators.blocking import (
+    band_keys_df,
+    candidate_pairs,
+    gram_array,
+    minhash_signature_df,
+)
+from gondar_spark.operators.cc import connected_components
+from gondar_spark.operators.chunk import chunk_content
+from gondar_spark.operators.extract import extract_triples, split_extraction
+from gondar_spark.operators.scoring import score_pairs
+from gondar_spark.operators.source import semi_join_fetch, with_content_sha
+
+
+# --------------------------------------------------------------------- chunk
+def _src(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    )
+
+
+def test_chunk_groups_lines(spark):
+    content = "\n".join(f"line{i}" for i in range(10))
+    df = _src(spark, [("r", "p", "c", "python", content)])
+    out = chunk_content(df, chunk_lines=4).orderBy("chunk_id").collect()
+    assert [r["chunk_id"] for r in out] == [0, 1, 2]
+    assert out[0]["chunk"] == "line0\nline1\nline2\nline3"
+    assert out[2]["chunk"] == "line8\nline9"
+
+
+def test_chunk_empty_and_whitespace(spark):
+    df = _src(spark, [("r", "p1", "c", "python", ""),
+                      ("r", "p2", "c", "python", "  \n \n"),
+                      ("r", "p3", "c", "python", "x")])
+    out = chunk_content(df, chunk_lines=4).collect()
+    assert len(out) == 1 and out[0]["path"] == "p3"
+
+
+def test_chunk_char_cap(spark):
+    df = _src(spark, [("r", "p", "c", "python", "a" * 100)])
+    out = chunk_content(df, chunk_lines=4, max_chunk_chars=10).collect()
+    assert len(out[0]["chunk"]) == 10
+
+
+# ------------------------------------------------------------------- extract
+def test_extract_matches_spec_and_flags_metrics(spark):
+    content = "def alpha(ctx):\n    out = beta(ctx)\n# noise\nimport core.utils"
+    df = _src(spark, [("r", "p", "c", "python", content)])
+    raw = extract_triples(chunk_content(df, chunk_lines=64))
+    triples, quarantine, metrics = split_extraction(raw)
+    got = {(r["pred"], r["obj"]) for r in triples.collect()}
+    assert got == {("defines_fn", "alpha"), ("calls", "beta"),
+                   ("imports", "core.utils")}
+    assert quarantine.count() == 0
+    assert metrics.count() >= 1
+
+
+def test_extract_dedup_same_content_two_paths(spark):
+    content = "def alpha(ctx):"
+    df = _src(spark, [("r", "p1", "c1", "python", content),
+                      ("r", "p2", "c2", "python", content)])
+    triples, _, _ = split_extraction(extract_triples(chunk_content(df)))
+    rows = triples.collect()
+    assert {r["subj"] for r in rows} == {"r:p1", "r:p2"}  # both provenances kept
+
+
+# -------------------------------------------------------------------- source
+def test_sha256_matches_hashlib(spark):
+    import hashlib
+
+    df = _src(spark, [("r", "p", "c", "python", "hello\nworld")])
+    got = with_content_sha(df).collect()[0]["content_sha256"]
+    assert got == hashlib.sha256(b"hello\nworld").hexdigest()
+
+
+def test_semi_join_fetch(spark):
+    big = _src(spark, [("r", f"p{i}", "c", "python", "x") for i in range(10)])
+    ids = spark.createDataFrame([("p1",), ("p7",)], ["path"])
+    out = semi_join_fetch(big, ids, ["path"]).collect()
+    assert sorted(r["path"] for r in out) == ["p1", "p7"]
+
+
+# ------------------------------------------------------------------ blocking
+NORMS = ["parsetree", "parsetreeimpl", "quaoquspan", "zumgraph", "ab", ""]
+
+
+def test_gram_array_matches_python(spark):
+    df = spark.createDataFrame([(n,) for n in NORMS], ["norm"])
+    got = {r["norm"]: set(r["g"]) for r in
+           df.select("norm", gram_array().alias("g")).collect()}
+    for n in NORMS:
+        want = char_ngrams(n) or {""}
+        assert got[n] == want, n
+
+
+def test_minhash_signature_matches_python(spark):
+    df = spark.createDataFrame([(n,) for n in NORMS if n], ["norm"])
+    sig = minhash_signature_df(df, n_hashes=8, seed=1001)
+    got = {r["norm"]: [r[f"h{k}"] for k in range(8)] for r in sig.collect()}
+    for n in NORMS:
+        if n:
+            assert got[n] == minhash_signature(n, 8, 1001), n
+
+
+def test_band_keys_match_python(spark):
+    df = spark.createDataFrame([("parsetree",)], ["norm"])
+    sig = minhash_signature_df(df, n_hashes=16, seed=1001)
+    got = sorted(r["band_key"] for r in band_keys_df(sig, 16, 8).collect())
+    assert got == sorted(band_keys("parsetree", 16, 8, 1001))
+
+
+def test_candidates_and_scoring_find_cluster_pair(spark):
+    df = spark.createDataFrame(
+        [("parsetree",), ("parsetreeimpl",), ("zumgraph",)], ["norm"]
+    )
+    sig = minhash_signature_df(df, 16, 1001)
+    pairs = candidate_pairs(band_keys_df(sig, 16, 8))
+    edges = score_pairs(pairs, sig, threshold=0.6).collect()
+    assert {(e["norm_a"], e["norm_b"]) for e in edges} == {
+        ("parsetree", "parsetreeimpl")
+    }
+    j = jaccard(char_ngrams("parsetree"), char_ngrams("parsetreeimpl"))
+    assert abs(edges[0]["jaccard"] - j) < 1e-9
+
+
+# ------------------------------------------------------------------------ cc
+def _cc(spark, pairs, max_iter=20):
+    df = spark.createDataFrame(pairs, ["norm_a", "norm_b"])
+    return {
+        r["norm"]: r["component"]
+        for r in connected_components(df, max_iter).collect()
+    }
+
+
+def test_cc_chain(spark):
+    labels = _cc(spark, [("b", "c"), ("a", "b"), ("c", "d")])
+    assert labels == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_cc_two_components_and_clique(spark):
+    labels = _cc(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")])
+    assert labels == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "norm_a string, norm_b string")
+    assert connected_components(df).count() == 0
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min member
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for root, members in comp.items() for n in members}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_cc_matches_union_find(spark, edges):
+    pairs = [(f"n{min(a, b):02d}", f"n{max(a, b):02d}") for a, b in edges]
+    got = _cc(spark, pairs)
+    want = _union_find(pairs)
+    assert got == want
