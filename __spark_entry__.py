@@ -1,38 +1,907 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction slice end-to-end.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (A-operators' Spark analogs, B-pipeline stages, and the
+training-data ops: dedup, similarity search, text analysis).
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query; hashing-based queries use md5 end-to-end so the
+two engines compute identical strings (see gondar_spark/extraction/spec.py).
+
+Non-SQL-expressible entries (iterative connected components, xxhash64
+simhash, approximate IVF, the full mapInPandas extractor over synthetic
+code) intentionally omit oracles -> driver records rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from gondar_spark.functions.numeric import round_half_up
+from gondar_spark.functions.textstats import (
+    LANG_MARKERS,
+    STOPWORDS,
+    tokens_col,
+    with_fingerprints,
+    with_lang_scores,
+    with_quality_score,
+)
+from gondar_spark.operators import similarity
+from gondar_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    word_shingles,
+    _minhash_cols,
+)
+from gondar_spark.operators.source import semi_join_fetch
+from gondar_spark.operators.topk import top_k_per_group
+
+SEED = 1001
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# flagship: the KG-construction pipeline end-to-end (extraction -> linking
+# -> canonicalization -> canonical triples), no writes, returns the DF.
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from gondar_spark.config import JobConfig
+    from gondar_spark.operators import blocking, cc, chunk, extract, materialize, normalize
+    from gondar_spark.operators.scoring import score_pairs
+    from gondar_spark.synth import SynthConfig, generate_source_df
+
+    cfg = JobConfig()
+    scfg = SynthConfig(n_files=120)
+    src = generate_source_df(spark, scfg, partitions=8)
+    chunked = chunk.chunk_content(src, cfg.chunk_lines, cfg.max_chunk_chars)
+    raw = extract.extract_triples(chunked, cfg.extractor_max_retries,
+                                  emit_metrics=False)
+    triples, _, _ = extract.split_extraction(raw)
+    mentions = normalize.normalize_mentions(triples)
+    sig = blocking.minhash_signature_df(mentions, cfg.minhash_hashes,
+                                        cfg.extractor_seed, cfg.shingle_size)
+    blocks = blocking.band_keys_df(sig, cfg.minhash_hashes, cfg.lsh_bands)
+    pairs = blocking.candidate_pairs(blocks)
+    edges = score_pairs(pairs, sig, cfg.link_threshold)
+    labels = cc.connected_components(edges, cfg.cc_max_iter)
+    return materialize.canonical_triples(triples, labels)
+
+
+# ===========================================================================
+# queries: each callable (spark, sf_dir) -> DataFrame
+# ===========================================================================
+
+# --- A1: scan with pushed filter + sort + limit --------------------------
+def q_scan_pushdown_topk(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") > 300))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# --- A2: broadcast semi-join fetch by id set ------------------------------
+def q_semi_join_fetch(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    return semi_join_fetch(docs, ids, ["doc_id"]).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# --- A4/A5: metadata projection with null-safe concat ---------------------
+def q_meta_projection(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("|", F.col("lang"), F.col("source")).alias("meta_key"),
+        F.coalesce(F.col("source"), F.lit("")).alias("source_safe"),
+        F.upper(F.col("lang")).alias("lang_uc"),
+    )
+
+
+# --- A6/A19/B3: body explode (text -> one row per token with position) ----
+def q_body_explode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    )
+
+
+# --- A7/B5: normalization --------------------------------------------------
+def q_normalize_strip(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", "").alias("norm"),
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("ws_norm"),
+    )
+
+
+# --- A10: ordered string aggregation (run mode) ----------------------------
+def q_string_agg_run_mode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.substring("text", 1, 40).alias("snippet")
+    )
+    agg = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "snippet"))).alias("_s"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.array_join(F.transform("_s", lambda s: s["snippet"]), "||").alias(
+            "merged"
+        ),
+    )
+
+
+# --- A12/A13: template fill -------------------------------------------------
+def q_template_fill(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("system: extract ["), F.col("lang"), F.lit("] "),
+            F.substring("text", 1, 30)
+        ).alias("prompt"),
+    )
+
+
+# --- A16: JSON parse of operator payloads -----------------------------------
+def q_json_extract_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
+        .filter(F.col("k_val") > 50)
+    )
+
+
+# --- A17: empty/quality filter ----------------------------------------------
+def q_empty_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.size(tokens_col()) > 0) & (F.col("n_chars") >= 50))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+# --- B4 oracle analog: regex mention extraction + counts --------------------
+def q_extraction_regex(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    mentions = docs.select(
+        F.explode(F.regexp_extract_all("text", F.lit(r"[a-z]{5,}"), 0)).alias(
+            "mention"
+        )
+    )
+    return mentions.groupBy("mention").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+
+
+# --- B5: mention dictionary --------------------------------------------------
+def q_mention_dictionary(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    return toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# --- B13 / dedup: exact hash dedup -------------------------------------------
+def q_exact_dedup(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# --- B6 oracle: minhash signatures (4 hashes) over word 3-gram shingles ------
+def q_minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    base = docs.select(
+        F.col("doc_id"), word_shingles("text", 3).alias("sh")
+    )
+    return base.select("doc_id", *_minhash_cols(F.col("sh"), 4, SEED))
+
+
+# --- B6/B7/B8: minhash LSH near-dup pairs (with planted dups) ----------------
+def _docs_with_planted_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant near-duplicates: copy of every 10th doc with the first word
+    # changed — deterministic, same construction in the SQL oracle.
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("dup "), F.col("text")).alias("text"),
+        )
+    )
+    return docs.unionByName(dups)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _docs_with_planted_dups(spark, sf_dir),
+        n_hashes=16, bands=8, seed=SEED, threshold=0.5,
+    )
+
+
+# --- dedup: exact n-gram Jaccard via inverted index --------------------------
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _docs_with_planted_dups(spark, sf_dir), threshold=0.5
+    )
+
+
+# --- dedup: simhash (xxhash64 — no SQL oracle) --------------------------------
+def q_simhash_pairs(spark, sf_dir):
+    return simhash_dedup(_docs_with_planted_dups(spark, sf_dir), max_hamming=3)
+
+
+# --- similarity: brute-force cosine top-k -------------------------------------
+_QUERY_VEC_ID = 0
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+# --- similarity: per-probe knn (window top-k) ----------------------------------
+def q_knn_per_probe(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_per_probe(emb, probes, k=3).select(
+        "probe_id", "data_id", "cosine", "rank"
+    )
+
+
+# --- similarity: IVF ANN (approximate — rows-only check) -----------------------
+def _centroids(spark, sf_dir, n=8):
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(n)
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    return similarity.ivf_topk(
+        emb, _query_vec(spark, sf_dir), _centroids(spark, sf_dir), k=10, n_probe=2
+    )
+
+
+# --- text analysis ---------------------------------------------------------------
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "lang", F.size(tokens_col()).cast("long").alias("token_count")
+    )
+    return with_counts.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("token_count").cast("long").alias("total_tokens"),
+        round_half_up(F.avg("token_count"), 4).alias("avg_tokens"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    return with_quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "token_count", "mean_token_len", "stopword_ratio",
+        "punct_ratio", "quality_score",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return with_lang_scores(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "score_en", "score_es", "score_de", "score_fr", "score_zh",
+        "lang_pred",
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    return with_fingerprints(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_exact", "fp_minshingle"
+    )
+
+
+# --- relational coverage: aggregations / joins / windows --------------------------
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nation_volume(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(
+        F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey
+    ).join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+    return joined.groupBy("n_name").agg(
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+def q_events_topk_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        round_half_up(F.sum("value"), 4).alias("total_value")
+    )
+    return top_k_per_group(per_user, "event_type", "total_value", 5).select(
+        "event_type", "user_id", "total_value", "rank"
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_orders_running_total(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        round_half_up(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_union_projections(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    short = docs.filter(F.col("n_chars") < 200).select(
+        "doc_id", F.lit("short").alias("bucket")
+    )
+    long_ = docs.filter(F.col("n_chars") >= 200).select(
+        "doc_id", F.lit("long").alias("bucket")
+    )
+    return short.unionByName(long_).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def q_distinct_pairs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+# --- KG pipeline on synthetic code (non-SQL: rows-only smoke) ---------------------
+def q_kg_triples(spark, sf_dir):
+    from gondar_spark.operators import chunk, extract
+    from gondar_spark.synth import SynthConfig, generate_source_df
+
+    src = generate_source_df(spark, SynthConfig(n_files=80), partitions=8)
+    raw = extract.extract_triples(
+        chunk.chunk_content(src, 64), emit_metrics=False
+    )
+    triples, _, _ = extract.split_extraction(raw)
+    return triples.groupBy("pred", "kind").agg(
+        F.count("*").cast("long").alias("n")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_pushdown_topk": q_scan_pushdown_topk,
+        "semi_join_fetch": q_semi_join_fetch,
+        "meta_projection": q_meta_projection,
+        "body_explode": q_body_explode,
+        "normalize_strip": q_normalize_strip,
+        "string_agg_run_mode": q_string_agg_run_mode,
+        "template_fill": q_template_fill,
+        "json_extract_events": q_json_extract_events,
+        "empty_filter": q_empty_filter,
+        "extraction_regex": q_extraction_regex,
+        "mention_dictionary": q_mention_dictionary,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "knn_per_probe": q_knn_per_probe,
+        "ivf_topk": q_ivf_topk,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_volume": q_nation_volume,
+        "events_topk_users": q_events_topk_users,
+        "events_hourly": q_events_hourly,
+        "orders_running_total": q_orders_running_total,
+        "union_projections": q_union_projections,
+        "distinct_pairs": q_distinct_pairs,
+        "latest_event_per_user": q_latest_event_per_user,
+        "kg_triples": q_kg_triples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ===========================================================================
+# oracle SQL (DuckDB) — identical column names and value normalization
+# ===========================================================================
+
+_SHINGLES_CTE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\\s+') AS w
+    FROM {src}
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 3
+                THEN [md5(array_to_string(w, ' '))]
+                ELSE list_distinct([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                   for i in range(1, len(w) - 1)])
+           END AS sh
+    FROM toks
+)
+"""
+
+_PLANTED_DUPS = """
+(SELECT doc_id, text FROM documents
+ UNION ALL
+ SELECT doc_id + 1000000 AS doc_id, 'dup ' || text AS text
+ FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+def _minhash_sql(n_hashes: int, src: str) -> str:
+    hcols = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> md5('{SEED}:{k}:' || s))) AS h{k}"
+        for k in range(n_hashes)
+    )
+    return _SHINGLES_CTE.format(src=src) + f"SELECT doc_id,\n       {hcols}\nFROM sh"
+
+
+def _lsh_pairs_sql(threshold: float) -> str:
+    bands = 8
+    rows = 2
+    band_exprs = ", ".join(
+        f"('{b}:' || md5(h{b * rows} || '|' || h{b * rows + 1})) " for b in range(bands)
+    )
+    hcols = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{SEED}:{k}:' || s))) AS h{k}"
+        for k in range(16)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    FROM {_PLANTED_DUPS} docs
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 3
+                THEN [md5(array_to_string(w, ' '))]
+                ELSE list_distinct([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                   for i in range(1, len(w) - 1)])
+           END AS sh
+    FROM toks
+), sig AS (
+    SELECT doc_id, sh,
+           {hcols}
+    FROM sh
+), blocks AS (
+    SELECT doc_id, sh, unnest([{band_exprs}]) AS band_key
+    FROM sig
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+    FROM blocks a JOIN blocks b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+), scored AS (
+    SELECT id_a, id_b,
+           (floor((len(list_intersect(sh_a, sh_b))::DOUBLE /
+                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0)
+               AS jaccard
+    FROM pairs
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    lang_scores = ",\n       ".join(
+        "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"t -> t IN ({', '.join(repr(m) for m in LANG_MARKERS[lg])})))::BIGINT "
+        f"AS score_{lg}"
+        for lg in LANG_MARKERS
+    )
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN score_{lg} = greatest(score_en, score_es, score_de, "
+            f"score_fr, score_zh) THEN '{lg}'"
+            for lg in LANG_MARKERS
+        )
+        + " END AS lang_pred"
+    )
+    return {
+        "scan_pushdown_topk": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars > 300
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "semi_join_fetch": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (
+                SELECT doc_id FROM documents
+                ORDER BY n_chars DESC, doc_id ASC LIMIT 10)
+        """,
+        "meta_projection": """
+            SELECT doc_id,
+                   concat_ws('|', lang, source) AS meta_key,
+                   coalesce(source, '') AS source_safe,
+                   upper(lang) AS lang_uc
+            FROM documents
+        """,
+        "body_explode": """
+            SELECT doc_id,
+                   CAST(i - 1 AS INT) AS pos,
+                   w[i] AS word
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE doc_id < 100) t,
+                 UNNEST(range(1, len(w) + 1)) AS u(i)
+        """,
+        "normalize_strip": """
+            SELECT doc_id,
+                   regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS norm,
+                   regexp_replace(trim(text), '\\s+', ' ', 'g') AS ws_norm
+            FROM documents
+        """,
+        "string_agg_run_mode": """
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   string_agg(substring(text, 1, 40), '||' ORDER BY doc_id)
+                       AS merged
+            FROM documents GROUP BY lang
+        """,
+        "template_fill": """
+            SELECT doc_id,
+                   'system: extract [' || lang || '] ' || substring(text, 1, 30)
+                       AS prompt
+            FROM documents
+        """,
+        "json_extract_events": """
+            SELECT event_id, event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+        """,
+        "empty_filter": """
+            SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) > 0
+              AND trim(text) != '' AND n_chars >= 50
+            GROUP BY lang
+        """,
+        "extraction_regex": """
+            SELECT mention, count(*)::BIGINT AS n_occurrences
+            FROM (SELECT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS mention
+                  FROM documents)
+            GROUP BY mention
+        """,
+        "mention_dictionary": """
+            SELECT token,
+                   count(*)::BIGINT AS n_total,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            WHERE len(token) > 0
+            GROUP BY token
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS keep_id,
+                   count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "minhash_signatures": _minhash_sql(
+            4, "(SELECT doc_id, text FROM documents WHERE doc_id < 50) d"
+        ),
+        "minhash_lsh_pairs": _lsh_pairs_sql(0.5),
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM {_PLANTED_DUPS} docs
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3
+                            THEN [md5(array_to_string(w, ' '))]
+                            ELSE list_distinct([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                               for i in range(1, len(w) - 1)])
+                       END AS sh
+                FROM toks
+            ), inv AS (
+                SELECT doc_id, unnest(sh) AS s FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM inv a JOIN inv b USING (s)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), sizes AS (
+                SELECT doc_id, len(sh) AS sz FROM sh
+            )
+            SELECT id_a, id_b,
+                   (floor((inter::DOUBLE / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE (floor((inter::DOUBLE / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0) >= 0.5
+        """,
+        "cosine_topk": f"""
+            SELECT vec_id,
+                   (floor((list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings
+                        WHERE vec_id = {_QUERY_VEC_ID}))) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+            FROM embeddings WHERE vec_id != {_QUERY_VEC_ID}
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "knn_per_probe": """
+            WITH probes AS (
+                SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT p.probe_id, e.vec_id AS data_id,
+                       (floor((list_cosine_similarity(e.embedding::DOUBLE[], p.pv)) * 1000000.0 + 0.5) / 1000000.0)
+                           AS cosine
+                FROM embeddings e, probes p
+                WHERE e.vec_id != p.probe_id
+            ), ranked AS (
+                SELECT probe_id, data_id, cosine,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY cosine DESC, data_id ASC)
+                           AS rank
+                FROM scored
+            )
+            SELECT probe_id, data_id, cosine, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "token_stats": """
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT
+                       AS total_tokens,
+                   (floor((avg(len(string_split_regex(trim(text), '\\s+')))) * 10000.0 + 0.5) / 10000.0)
+                       AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": f"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+') END AS toks
+                FROM documents
+            ), stats AS (
+                SELECT doc_id,
+                       len(toks)::BIGINT AS token_count,
+                       CASE WHEN len(toks) > 0
+                            THEN (floor((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                                       / len(toks)) * 10000.0 + 0.5) / 10000.0)
+                            ELSE 0.0 END AS mean_token_len,
+                       CASE WHEN len(toks) > 0
+                            THEN (floor((len(list_filter(toks,
+                                     t -> t IN ({stop_list})))::DOUBLE / len(toks)) * 10000.0 + 0.5) / 10000.0)
+                            ELSE 0.0 END AS stopword_ratio,
+                       CASE WHEN length(text) > 0
+                            THEN (floor(((length(text) -
+                                 length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                                 / length(text)) * 10000.0 + 0.5) / 10000.0)
+                            ELSE 0.0 END AS punct_ratio,
+                       len(toks) AS n_tok
+                FROM base
+            )
+            SELECT doc_id, token_count, mean_token_len, stopword_ratio, punct_ratio,
+                   (floor((least(1.0, n_tok / 64.0) * 0.5
+                         + stopword_ratio * 0.3
+                         + (1.0 - least(1.0, punct_ratio * 10)) * 0.2) * 10000.0 + 0.5) / 10000.0)
+                       AS quality_score
+            FROM stats
+        """,
+        "lang_id": f"""
+            WITH scores AS (
+                SELECT doc_id,
+                       {lang_scores}
+                FROM documents
+            )
+            SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+                   {lang_case}
+            FROM scores
+        """,
+        "fingerprints": """
+            WITH base AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(norm) AS fp_exact,
+                   CASE WHEN len(toks) < 3 THEN md5(norm)
+                        ELSE list_min([md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                       for i in range(1, len(toks) - 1)])
+                   END AS fp_minshingle
+            FROM base
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty,
+                   (floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_base_price,
+                   (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0)
+                       AS sum_disc_price,
+                   (floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey,
+                   (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "nation_volume": """
+            SELECT n_name,
+                   (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_topk_users": """
+            WITH per_user AS (
+                SELECT event_type, user_id, (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS total_value
+                FROM events GROUP BY event_type, user_id
+            ), ranked AS (
+                SELECT event_type, user_id, total_value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY total_value DESC) AS rank
+                FROM per_user
+            )
+            SELECT event_type, user_id, total_value, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "orders_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   (floor((sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0)
+                       AS running_total
+            FROM orders WHERE o_custkey < 100
+        """,
+        "union_projections": """
+            SELECT bucket, count(*)::BIGINT AS n_docs FROM (
+                SELECT doc_id, 'short' AS bucket FROM documents WHERE n_chars < 200
+                UNION ALL
+                SELECT doc_id, 'long' AS bucket FROM documents WHERE n_chars >= 200
+            ) GROUP BY bucket
+        """,
+        "distinct_pairs": """
+            SELECT DISTINCT lang, source FROM documents
+        """,
+        "latest_event_per_user": """
+            WITH ranked AS (
+                SELECT user_id, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+            FROM ranked WHERE rn = 1
+        """,
+        # simhash_pairs, ivf_topk, kg_triples: non-SQL-expressible
+        # (xxhash64 bit ops / approximate ANN / mapInPandas extractor)
+        # -> rows-only checks by design.
+    }

@@ -1,0 +1,138 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+token counting, quality scoring, language-ID scoring, fingerprinting.
+
+All pure built-in column expressions (whole-stage codegen, no Python),
+each with an exact DuckDB-SQL mirror in __spark_entry__.oracle_sql().
+Generalizes the reference's text-normalization operators (A5-A7,
+/root/reference/gondar/tools/entrez.py:14-68) into reusable scoring fns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .numeric import round_half_up
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# tiny per-language marker sets for the n-gram/stopword language heuristic;
+# scores are deterministic counts, argmax with fixed tie-break order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de", "shi", "zai", "le"),
+}
+
+
+def tokens_col(col: str = "text") -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    c = F.col(col)
+    return F.when(
+        ~c.rlike(r"\S"), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+
+
+def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    return df.withColumn("token_count", F.size(tokens_col(col)).cast("long"))
+
+
+def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length, mean token length,
+    stopword ratio, punctuation ratio, composite score (rounded for
+    cross-engine comparability)."""
+    toks = tokens_col(col)
+    n_tok = F.size(toks)
+    c = F.col(col)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    return (
+        df.withColumn("token_count", n_tok.cast("long"))
+        .withColumn(
+            "mean_token_len",
+            round_half_up(
+                F.when(n_tok > 0,
+                       F.length(F.regexp_replace(c, r"\s+", "")) / n_tok
+                       ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            round_half_up(
+                F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0)), 4
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            round_half_up(
+                F.when(F.length(c) > 0, punct / F.length(c)).otherwise(
+                    F.lit(0.0)
+                ),
+                4,
+            ),
+        )
+        .withColumn(
+            "quality_score",
+            round_half_up(
+                F.least(F.lit(1.0), n_tok / F.lit(64.0)) * 0.5
+                + F.col("stopword_ratio") * 0.3
+                + (F.lit(1.0) - F.least(F.lit(1.0), F.col("punct_ratio") * 10))
+                * 0.2,
+                4,
+            ),
+        )
+    )
+
+
+def with_lang_scores(df: DataFrame, col: str = "text") -> DataFrame:
+    """Language-ID heuristic: per-language marker-token counts + argmax
+    prediction with a fixed CASE tie-break (en > es > de > fr > zh)."""
+    toks = tokens_col(col)
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long"),
+        )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    expr = None
+    for lg in langs:  # first lang reaching the max wins (stable tie-break)
+        cond = F.col(f"score_{lg}") == best
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    return out.withColumn("lang_pred", expr)
+
+
+def with_fingerprints(df: DataFrame, col: str = "text") -> DataFrame:
+    """Document fingerprints:
+      * fp_exact   — md5 of whitespace-normalized lowercase text,
+      * fp_minshingle — min over word-3-gram shingles of md5(shingle)
+        (a 1-hash MinHash: equal fingerprints => likely near-duplicates,
+        the winnowing-style content fingerprint).
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+    toks = tokens_col(col)
+    n = F.size(toks)
+    shingles = F.when(n < 3, F.array(norm)).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ).cast("binary")
+            ),
+        )
+    )
+    return df.withColumn("fp_exact", F.md5(norm.cast("binary"))).withColumn(
+        "fp_minshingle",
+        F.when(n < 3, F.md5(norm.cast("binary"))).otherwise(F.array_min(shingles)),
+    )

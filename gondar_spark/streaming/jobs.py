@@ -1,0 +1,81 @@
+"""Structured Streaming jobs.
+
+The reference is batch-only (SURVEY.md §2 streaming row: none; its
+`Memory` stub is the only nod to state), and the north rule is a batch
+job — so streaming here is the incremental-ingest path for the same KG
+pipeline: new source files land in a directory, get chunked + extracted
+with the SAME operators as batch (chunk_content / extract_triples are
+plain DataFrame transforms, so they compose with readStream), and windowed
+extraction-rate metrics come from a watermarked window agg.
+
+Tested with trigger(availableNow=True) — processes everything present,
+then stops — which is also the production backfill mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.chunk import chunk_content
+from ..operators.extract import extract_triples, split_extraction
+from ..synth import SOURCE_SCHEMA
+
+
+def stream_source(spark: SparkSession, src_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = (
+        spark.readStream.schema(SOURCE_SCHEMA).format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(src_dir)
+
+
+def streaming_extraction(src_stream: DataFrame, chunk_lines: int = 64) -> DataFrame:
+    """readStream -> chunk -> mapInPandas extract -> triple stream.
+    Identical operator composition as the batch pipeline (stage 2)."""
+    chunked = chunk_content(src_stream, chunk_lines)
+    raw = extract_triples(chunked, emit_metrics=False)
+    triples, _, _ = split_extraction(raw)
+    return triples
+
+
+def run_streaming_extraction(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    chunk_lines: int = 64,
+) -> None:
+    """File-source incremental extraction with exactly-once sink semantics
+    via the checkpoint dir; availableNow drains the backlog and stops."""
+    triples = streaming_extraction(stream_source(spark, src_dir), chunk_lines)
+    q = (
+        triples.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (late data beyond
+    the watermark dropped) — works on a stream or a batch DataFrame."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
