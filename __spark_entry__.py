@@ -62,9 +62,9 @@ def entry(spark: SparkSession) -> DataFrame:
     cfg = JobConfig()
     scfg = SynthConfig(n_files=120)
     src = generate_source_df(spark, scfg, partitions=8)
-    chunked = chunk.chunk_content(src, cfg.chunk_lines, cfg.max_chunk_chars)
-    raw = extract.extract_triples(chunked, cfg.extractor_max_retries,
-                                  emit_metrics=False)
+    units = chunk.prepare_extraction_units(src, cfg.chunk_lines)
+    raw = extract.extract_triples(units, cfg.extractor_max_retries,
+                                  cfg.chunk_lines, emit_metrics=False)
     triples, _, _ = extract.split_extraction(raw)
     mentions = normalize.normalize_mentions(triples)
     sig = blocking.minhash_signature_df(mentions, cfg.minhash_hashes,
@@ -469,7 +469,8 @@ def q_kg_triples(spark, sf_dir):
 
     src = generate_source_df(spark, SynthConfig(n_files=80), partitions=8)
     raw = extract.extract_triples(
-        chunk.chunk_content(src, 64), emit_metrics=False
+        chunk.prepare_extraction_units(src, 64), chunk_lines=64,
+        emit_metrics=False,
     )
     triples, _, _ = extract.split_extraction(raw)
     return triples.groupBy("pred", "kind").agg(

@@ -1,0 +1,157 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extraction": {"n_files": N, "docs_per_sec": T, "cpus": C}}
+
+The extraction entry is the north-rule metric (documents/sec through the
+chunk+mapInPandas extract stage); tools/bench_scaling.py runs THIS script
+at two parallelism levels (local[8] vs local[32]) to produce the
+N-vs-4N scaling-efficiency evidence in BENCH/BASELINE.md.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, GONDAR_BENCH_FILES,
+GONDAR_BENCH_ONLY=extraction (skip table queries; used by the scaling
+harness).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from gondar_spark.session import build_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "mention_dictionary",
+    "extraction_regex",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "knn_per_probe",
+    "quality_scores",
+    "fingerprints",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_volume",
+    "events_topk_users",
+    "orders_running_total",
+    "latest_event_per_user",
+]
+
+
+def _force(df) -> int:
+    """Fully materialize (noop sink exercises every column, unlike count)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def bench_extraction(spark, n_files: int) -> dict:
+    """documents/sec through scan -> chunk -> mapInPandas extract."""
+    from gondar_spark.operators import chunk, extract
+    from gondar_spark.synth import SynthConfig, generate_source_df
+
+    sc = spark.sparkContext
+    parallelism = sc.defaultParallelism
+    fmin, fmax = (
+        int(x) for x in os.environ.get("GONDAR_BENCH_FACTS", "3,12").split(",")
+    )
+    cfg = SynthConfig(n_files=n_files, seed=7, facts_min=fmin, facts_max=fmax)
+    # fine-grained partitions: at K task slots, K*2 partitions = 2 waves and
+    # one skewed partition stalls the whole job; K*8 keeps slots fed
+    src = generate_source_df(spark, cfg, partitions=parallelism * 8)
+    # materialize the corpus first so extraction timing excludes generation
+    src = src.persist()
+    src.count()
+
+    def run_extraction(df) -> int:
+        units = chunk.prepare_extraction_units(df, 64)
+        raw = extract.extract_triples(units, chunk_lines=64,
+                                      emit_metrics=False)
+        triples, _, _ = extract.split_extraction(raw)
+        return triples.count()
+
+    # warm-up: spin up every Python worker (fork + pandas/pkg imports) and
+    # JIT the codegen'd stages — otherwise cold-start cost scales with the
+    # worker count and poisons the N-vs-4N comparison (measured: a cold
+    # local[32] run spends ~25s on startup a warm one doesn't)
+    run_extraction(
+        generate_source_df(
+            spark, SynthConfig(n_files=parallelism * 64, seed=13),
+            partitions=parallelism * 2,
+        )
+    )
+
+    # best-of-N timed reps: single-JVM local mode has noisy cold paths
+    # (GC sizing, code cache); steady-state min is the honest throughput
+    reps = int(os.environ.get("GONDAR_BENCH_REPS", "2"))
+    dt = float("inf")
+    n_triples = 0
+    for _ in range(max(1, reps)):
+        t0 = time.time()
+        n_triples = run_extraction(src)
+        dt = min(dt, time.time() - t0)
+    src.unpersist()
+    return {
+        "n_files": n_files,
+        "n_triples": n_triples,
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_files / dt, 2),
+        "cpus": parallelism,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_files = int(os.environ.get("GONDAR_BENCH_FILES", "6000"))
+    only_extraction = os.environ.get("GONDAR_BENCH_ONLY") == "extraction"
+    spark = build_session(
+        app_name="gondar_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+        arrow_batch_rows=int(os.environ.get("GONDAR_ARROW_ROWS", "512")),
+        extra_conf={
+            "spark.driver.memory": os.environ.get("GONDAR_DRIVER_MEM", "8g")
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    if not only_extraction:
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+
+    extraction = bench_extraction(spark, n_files)
+    timings["kg_extraction"] = extraction["sec"]
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock + KG extraction throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extraction": extraction,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

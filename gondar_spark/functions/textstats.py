@@ -117,22 +117,30 @@ def with_fingerprints(df: DataFrame, col: str = "text") -> DataFrame:
         the winnowing-style content fingerprint).
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
-    toks = tokens_col(col)
+    # materialize the token array once — referencing an inline split()
+    # inside the transform() lambda would re-tokenize per shingle (no CSE
+    # across higher-order-function boundaries)
+    base = df.withColumn("_toks", tokens_col(col))
+    toks = F.col("_toks")
     n = F.size(toks)
-    shingles = F.when(n < 3, F.array(norm)).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ).cast("binary")
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ).cast("binary")
+        ),
+    )
+    return (
+        base.withColumn("fp_exact", F.md5(norm.cast("binary")))
+        .withColumn(
+            "fp_minshingle",
+            F.when(n < 3, F.md5(norm.cast("binary"))).otherwise(
+                F.array_min(shingles)
             ),
         )
-    )
-    return df.withColumn("fp_exact", F.md5(norm.cast("binary"))).withColumn(
-        "fp_minshingle",
-        F.when(n < 3, F.md5(norm.cast("binary"))).otherwise(F.array_min(shingles)),
+        .drop("_toks")
     )

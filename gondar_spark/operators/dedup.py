@@ -37,10 +37,11 @@ def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Dat
     )
 
 
-def word_shingles(col: str = "text", n: int = 3):
-    """Distinct word n-gram shingle array (md5-hashed for compactness);
-    documents shorter than n words shingle to their normalized whole."""
-    toks = tokens_col(col)
+def _shingles_from_tokens(toks, n: int):
+    """Shingle array from a *materialized* token column reference —
+    never from an inline split() expression: higher-order-function lambdas
+    defeat common-subexpression elimination, so an inline tokenizer would
+    re-split the text once per shingle element (measured 50x slowdowns)."""
     sz = F.size(toks)
     whole = F.md5(F.concat_ws(" ", toks).cast("binary"))
     return F.when(sz < n, F.array(whole)).otherwise(
@@ -55,6 +56,21 @@ def word_shingles(col: str = "text", n: int = 3):
             )
         )
     )
+
+
+def shingled(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """(id, sh) with the token array materialized exactly once per row."""
+    return (
+        df.select(F.col(id_col).alias("id"), tokens_col(col).alias("_toks"))
+        .select("id", _shingles_from_tokens(F.col("_toks"), n).alias("sh"))
+    )
+
+
+def word_shingles(col: str = "text", n: int = 3):
+    """Expression form (used where the input is a single projected column);
+    prefer ``shingled`` in pipelines — see _shingles_from_tokens note."""
+    return _shingles_from_tokens(tokens_col(col), n)
 
 
 def _minhash_cols(shingle_col, n_hashes: int, seed: int):
@@ -84,10 +100,8 @@ def minhash_lsh_pairs(
     then exact shingle-Jaccard verification. The self-join is on band keys
     only — never all-pairs."""
     rows = n_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(col, shingle_n).alias("sh")
-    )
-    sig = base.select("id", "sh", *_minhash_cols(F.col("sh"), n_hashes, seed))
+    base = shingled(df, col, id_col, shingle_n)
+    sig = base.select("id", *_minhash_cols(F.col("sh"), n_hashes, seed))
     band_arr = F.array(
         *[
             F.concat(
@@ -101,19 +115,25 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    blocks = sig.select("id", "sh", F.explode(band_arr).alias("band_key"))
-    a = blocks.select("band_key", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = blocks.select("band_key", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # blocks carry IDS ONLY: the band self-join and pair-dedup shuffle
+    # 16-byte keys, not shingle arrays; arrays re-attach by id afterwards
+    # (two hash joins on a far smaller distinct-pair set).
+    blocks = sig.select("id", F.explode(band_arr).alias("band_key"))
     pairs = (
-        a.join(b, "band_key")
+        blocks.withColumnRenamed("id", "id_a")
+        .join(blocks.withColumnRenamed("id", "id_b"), "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    withsh = (
+        pairs.join(base.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(base.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        pairs.withColumn("jaccard", round_half_up(jac, 4))
+        withsh.withColumn("jaccard", round_half_up(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -129,9 +149,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram-Jaccard pairs via inverted-index equi-join on shingle
     (skips LSH; cost grows with shingle collision counts — the verifier
     path, also the recall oracle for minhash_lsh_pairs)."""
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(col, shingle_n).alias("sh")
-    )
+    base = shingled(df, col, id_col, shingle_n)
     sizes = base.select("id", F.size("sh").alias("sz"))
     inv = base.select("id", F.explode("sh").alias("s"))
     a = inv.withColumnsRenamed({"id": "id_a"})
@@ -169,8 +187,14 @@ def simhash_dedup(
     fingerprint into 4 16-bit bands — any pair within hamming distance 3
     shares at least one exact band (pigeonhole), so the join is an
     equi-join on (band_idx, band_value), never all-pairs."""
-    toks = tokens_col(col)
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    # materialize token hashes ONCE; referencing an inline tokenizer from
+    # 64 aggregate() lambdas would re-split the text 64x per row (no CSE
+    # across higher-order functions)
+    hashed_df = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens_col(col), lambda t: F.xxhash64(t)).alias("_h"),
+    )
+    hashed = F.col("_h")
     bit_votes = [
         F.aggregate(
             hashed,
@@ -185,7 +209,7 @@ def simhash_dedup(
         bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseXOR(term)
-    fp = df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    fp = hashed_df.select("id", sim.alias("simhash"))
     bands = fp.select(
         "id",
         "simhash",

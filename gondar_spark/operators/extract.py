@@ -16,8 +16,14 @@ design:
   * one mention per output row, fixed schema (the prompt contract,
     PubMedFlow.py:171-172).
 
-Output rows carry full provenance; batch-level metrics (rows in/out,
-errors) are emitted as `__metric__` rows and split off by the pipeline
+Input rows are extraction units from chunk.prepare_extraction_units:
+(.., base_chunk, unit) — chunk provenance is
+``chunk_id = base_chunk + line_no // chunk_lines`` (pure line math, so
+whole-file units and super-chunk units number identically).
+
+Hot-loop notes (measured): outputs are built as dict-of-lists (a pandas
+DataFrame from tuple rows pays an object-array conversion ~15% of stage
+time); batch metrics ride as `__metric__` rows split off by the pipeline
 into the lineage table (A20 analog — PubMedFlow.py:242, Flow.py:27-40).
 """
 
@@ -48,52 +54,70 @@ EXTRACT_SCHEMA = T.StructType(
 _COLS = [f.name for f in EXTRACT_SCHEMA]
 
 
-def _extract_micro_batch(pdf: pd.DataFrame, max_retries: int) -> list[tuple]:
+def _extract_micro_batch(pdf: pd.DataFrame, chunk_lines: int,
+                         max_retries: int) -> dict[str, list]:
     """One extractor invocation per micro-batch (the batched 'LLM call')."""
-    out: list[tuple] = []
-    for repo, path, commit, lang, chunk_id, chunk in zip(
+    cols: dict[str, list] = {c: [] for c in _COLS}
+
+    def emit(subj, pred, obj, kind, repo, path, commit, lang, chunk_id):
+        cols["subj"].append(subj)
+        cols["pred"].append(pred)
+        cols["obj"].append(obj)
+        cols["kind"].append(kind)
+        cols["repo"].append(repo)
+        cols["path"].append(path)
+        cols["commit"].append(commit)
+        cols["lang"].append(lang)
+        cols["chunk_id"].append(chunk_id)
+
+    for repo, path, commit, lang, base_chunk, unit in zip(
         pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
-        pdf["chunk_id"], pdf["chunk"]
+        pdf["base_chunk"], pdf["unit"]
     ):
         subj = f"{repo}:{path}"
+        base = int(base_chunk)
         attempt = 0
         while True:
             try:
-                facts = extract_from_content(lang, chunk)
+                facts = extract_from_content(lang, unit)
                 break
             except Exception as e:  # quarantine, never silently drop (A15)
                 attempt += 1
                 if attempt > max_retries:
-                    out.append((subj, "__error__", str(e)[:500], "error",
-                                repo, path, commit, lang, int(chunk_id)))
+                    emit(subj, "__error__", str(e)[:500], "error",
+                         repo, path, commit, lang, -1)
                     facts = []
                     break
-        for pred, obj, kind, _line in facts:
-            out.append((subj, pred, obj, kind, repo, path, commit, lang,
-                        int(chunk_id)))
-    return out
+        for pred, obj, kind, line in facts:
+            emit(subj, pred, obj, kind, repo, path, commit, lang,
+                 base + line // chunk_lines)
+    return cols
 
 
-def extract_triples(chunked: DataFrame, max_retries: int = 2,
+def extract_triples(units: DataFrame, max_retries: int = 2,
+                    chunk_lines: int = 64,
                     emit_metrics: bool = True) -> DataFrame:
-    """chunked(repo,path,commit,lang,chunk_id,chunk) -> triple rows.
+    """units(repo,path,commit,lang,base_chunk,unit) -> triple rows.
 
-    Column-prunes its own input (only the 6 needed columns cross the
-    Arrow boundary — the reference's token-minimization instinct,
+    Column-prunes its own input (only the needed columns cross the Arrow
+    boundary — the reference's token-minimization instinct,
     /root/reference/gondar/tools/entrez.py:59-68, as input narrowing).
     """
-    narrow = chunked.select("repo", "path", "commit", "lang", "chunk_id", "chunk")
+    narrow = units.select("repo", "path", "commit", "lang", "base_chunk", "unit")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = _extract_micro_batch(pdf, max_retries)
+            cols = _extract_micro_batch(pdf, chunk_lines, max_retries)
             if emit_metrics:
-                rows.append(
-                    ("__batch__", "__metric__",
-                     f"chunks_in={len(pdf)};triples_out={len(rows)}",
-                     "metric", "", "", "", "", -1)
-                )
-            yield pd.DataFrame(rows, columns=_COLS)
+                cols["subj"].append("__batch__")
+                cols["pred"].append("__metric__")
+                cols["obj"].append(
+                    f"units_in={len(pdf)};triples_out={len(cols['pred'])}")
+                cols["kind"].append("metric")
+                for c in ("repo", "path", "commit", "lang"):
+                    cols[c].append("")
+                cols["chunk_id"].append(-1)
+            yield pd.DataFrame(cols)
 
     return narrow.mapInPandas(run, EXTRACT_SCHEMA)
 

@@ -92,8 +92,9 @@ class Pipeline:
 
         # stage 2: chunk + vectorized extraction (B3/B4)
         def _extract():
-            chunked = chunk.chunk_content(src, cfg.chunk_lines, cfg.max_chunk_chars)
-            raw = extract.extract_triples(chunked, cfg.extractor_max_retries)
+            units = chunk.prepare_extraction_units(src, cfg.chunk_lines)
+            raw = extract.extract_triples(units, cfg.extractor_max_retries,
+                                          cfg.chunk_lines)
             triples, quarantine, metrics = extract.split_extraction(raw)
             return {"triples_raw": triples, "quarantine": quarantine,
                     "extract_metrics": metrics.select(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.chunk import chunk_content
+from ..operators.chunk import prepare_extraction_units
 from ..operators.extract import extract_triples, split_extraction
 from ..synth import SOURCE_SCHEMA
 
@@ -33,10 +33,10 @@ def stream_source(spark: SparkSession, src_dir: str,
 
 
 def streaming_extraction(src_stream: DataFrame, chunk_lines: int = 64) -> DataFrame:
-    """readStream -> chunk -> mapInPandas extract -> triple stream.
+    """readStream -> unitize -> mapInPandas extract -> triple stream.
     Identical operator composition as the batch pipeline (stage 2)."""
-    chunked = chunk_content(src_stream, chunk_lines)
-    raw = extract_triples(chunked, emit_metrics=False)
+    units = prepare_extraction_units(src_stream, chunk_lines)
+    raw = extract_triples(units, chunk_lines=chunk_lines, emit_metrics=False)
     triples, _, _ = split_extraction(raw)
     return triples
 

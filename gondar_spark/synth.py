@@ -89,6 +89,8 @@ class SynthConfig:
     n_entities: int = 24
     chunk_lines: int = 64
     hot_entity_weight: float = 0.12  # fraction of facts drawn from cluster 0
+    facts_min: int = 3               # facts per file (bench harness raises
+    facts_max: int = 12              # these to make extraction CPU-bound)
     mega_file_prob: float = 0.005    # heavy-tail huge files (Arrow-batch tests)
     empty_file_prob: float = 0.01    # empty/whitespace content rows
     minhash_hashes: int = 16
@@ -214,7 +216,7 @@ def render_file(cfg: SynthConfig, pool: list[EntityCluster], file_id: int):
                 "content": content}, []
 
     syn = LANG_SYNTAX[lang]
-    n_facts = rng.randint(3, 12)
+    n_facts = rng.randint(cfg.facts_min, cfg.facts_max)
     if roll < cfg.empty_file_prob + cfg.mega_file_prob:
         n_facts = rng.randint(400, 800)  # heavy tail: chunking/Arrow stress
 

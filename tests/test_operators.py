@@ -20,7 +20,7 @@ from gondar_spark.operators.blocking import (
     minhash_signature_df,
 )
 from gondar_spark.operators.cc import connected_components
-from gondar_spark.operators.chunk import chunk_content
+from gondar_spark.operators.chunk import chunk_content, prepare_extraction_units
 from gondar_spark.operators.extract import extract_triples, split_extraction
 from gondar_spark.operators.scoring import score_pairs
 from gondar_spark.operators.source import semi_join_fetch, with_content_sha
@@ -56,11 +56,44 @@ def test_chunk_char_cap(spark):
     assert len(out[0]["chunk"]) == 10
 
 
+# --------------------------------------------------------- extraction units
+def test_units_pass_through_small_files(spark):
+    content = "\n".join(f"line{i}" for i in range(10))
+    df = _src(spark, [("r", "p", "c", "python", content)])
+    out = prepare_extraction_units(df, chunk_lines=4).collect()
+    assert len(out) == 1
+    assert out[0]["base_chunk"] == 0 and out[0]["unit"] == content
+
+
+def test_units_split_oversized_with_aligned_bases(spark):
+    # 10 lines, chunk_lines=2, super_factor=2 -> units of 4 lines,
+    # base_chunk = 0, 2, 4
+    content = "\n".join(f"line{i}" for i in range(10))
+    df = _src(spark, [("r", "p", "c", "python", content)])
+    out = (
+        prepare_extraction_units(df, chunk_lines=2, super_factor=2,
+                                 pass_through_chars=5)
+        .orderBy("base_chunk")
+        .collect()
+    )
+    assert [r["base_chunk"] for r in out] == [0, 2, 4]
+    assert out[0]["unit"] == "line0\nline1\nline2\nline3"
+    assert out[2]["unit"] == "line8\nline9"
+
+
+def test_units_empty_and_whitespace(spark):
+    df = _src(spark, [("r", "p1", "c", "python", ""),
+                      ("r", "p2", "c", "python", "  \n \n"),
+                      ("r", "p3", "c", "python", "x")])
+    out = prepare_extraction_units(df, 4).collect()
+    assert len(out) == 1 and out[0]["path"] == "p3"
+
+
 # ------------------------------------------------------------------- extract
 def test_extract_matches_spec_and_flags_metrics(spark):
     content = "def alpha(ctx):\n    out = beta(ctx)\n# noise\nimport core.utils"
     df = _src(spark, [("r", "p", "c", "python", content)])
-    raw = extract_triples(chunk_content(df, chunk_lines=64))
+    raw = extract_triples(prepare_extraction_units(df, 64), chunk_lines=64)
     triples, quarantine, metrics = split_extraction(raw)
     got = {(r["pred"], r["obj"]) for r in triples.collect()}
     assert got == {("defines_fn", "alpha"), ("calls", "beta"),
@@ -69,11 +102,31 @@ def test_extract_matches_spec_and_flags_metrics(spark):
     assert metrics.count() >= 1
 
 
+def test_extract_chunk_ids_same_for_whole_and_split(spark):
+    """chunk ids are identical whether a file passes through whole or is
+    super-chunk split (the alignment contract)."""
+    content = "\n".join(
+        f"def fn{i}(ctx):" if i % 3 == 0 else f"# filler {i}" for i in range(40)
+    )
+    df = _src(spark, [("r", "p", "c", "python", content)])
+    whole = extract_triples(
+        prepare_extraction_units(df, chunk_lines=4), chunk_lines=4,
+        emit_metrics=False)
+    split = extract_triples(
+        prepare_extraction_units(df, chunk_lines=4, super_factor=2,
+                                 pass_through_chars=5),
+        chunk_lines=4, emit_metrics=False)
+    w = {(r["obj"], r["chunk_id"]) for r in whole.collect()}
+    s = {(r["obj"], r["chunk_id"]) for r in split.collect()}
+    assert w == s and len(w) == 14
+
+
 def test_extract_dedup_same_content_two_paths(spark):
     content = "def alpha(ctx):"
     df = _src(spark, [("r", "p1", "c1", "python", content),
                       ("r", "p2", "c2", "python", content)])
-    triples, _, _ = split_extraction(extract_triples(chunk_content(df)))
+    triples, _, _ = split_extraction(
+        extract_triples(prepare_extraction_units(df, 64), chunk_lines=64))
     rows = triples.collect()
     assert {r["subj"] for r in rows} == {"r:p1", "r:p2"}  # both provenances kept
 

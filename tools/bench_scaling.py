@@ -1,0 +1,94 @@
+"""Two-cluster-size scaling evidence (north rule,
+/root/repo/BASELINE.json:14): the real rule asks for N vs 4N *executors*;
+in-sandbox we proxy with local[8] vs local[32] on the SAME input
+(BASELINE.md target rows) and report documents/sec at both plus
+efficiency = tput(4N) / (4 * tput(N)).
+
+Each measurement is a fresh JVM subprocess (no warm-cache bleed).
+Writes/updates BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_files] [small_cpus] [big_cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cpus: int, n_files: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        GONDAR_BENCH_FILES=str(n_files),
+        GONDAR_BENCH_ONLY="extraction",
+        # dense files so extraction is CPU-bound and fixed stage overhead
+        # (~1s) is noise, not signal, at both parallelism points
+        GONDAR_BENCH_FACTS=os.environ.get("GONDAR_BENCH_FACTS", "120,240"),
+        GONDAR_BENCH_REPS="3",
+    )
+    # PIN the whole process tree (JVM + python workers) to `cpus` physical
+    # CPUs: local[N] alone only caps JVM task slots — the async Python
+    # workers would burn extra cores and inflate the small-N throughput,
+    # which is exactly what a real N-executor cluster does NOT allow.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}",
+           sys.executable, os.path.join(REPO, "bench.py")]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=1800)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)["extraction"]
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000
+    small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    rs = run_once(small, n_files)
+    rb = run_once(big, n_files)
+    eff = rb["docs_per_sec"] / (rs["docs_per_sec"] * (big / small))
+    result = {
+        "n_files": n_files,
+        f"local[{small}]": rs,
+        f"local[{big}]": rb,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+    md = f"""# BENCH/BASELINE.md — measured numbers
+
+## Two-parallelism scaling (north-rule proxy: local[{small}] vs local[{big}])
+
+Same input both runs: {n_files} synthetic source files (seed 7),
+scan -> chunk -> mapInPandas triple extraction, fresh JVM per point.
+
+| parallelism | wall (s) | documents/sec |
+|---|---|---|
+| local[{small}] (N) | {rs['sec']} | {rs['docs_per_sec']} |
+| local[{big}] (4N) | {rb['sec']} | {rb['docs_per_sec']} |
+
+**Scaling efficiency** = tput(4N) / (4 x tput(N)) =
+**{result['scaling_efficiency']}** (target >= 0.8: {'PASS' if result['pass'] else 'FAIL'}).
+
+Extraction emitted {rb['n_triples']} triples at both sizes (identical —
+partition-count independence).
+
+## Headline query wall-clock
+
+See the driver-recorded BENCH_r*.json (one JSON line from `python
+bench.py` at sf0.1 on local[32]).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    if rs["n_triples"] != rb["n_triples"]:
+        print("WARNING: triple counts differ between sizes!", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
