@@ -41,9 +41,20 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans — wider/fewer is better."""
-    txt = explain_str(df)
-    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", txt))
+    """Number of WholeStageCodegen spans — wider/fewer is better.
+    Formatted mode tags nodes with '[codegen id : N]'; simple mode uses
+    '*(N)' prefixes — count distinct ids across both spellings."""
+    conf = df.sparkSession.conf
+    prev = conf.get("spark.sql.adaptive.enabled")
+    try:
+        # AQE wraps the plan in AdaptiveSparkPlan(isFinalPlan=false) whose
+        # codegen ids only exist after execution; plan once without it
+        conf.set("spark.sql.adaptive.enabled", "false")
+        txt = explain_str(df) + explain_str(df, "simple")
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
+    ids = set(re.findall(r"codegen id : (\d+)", txt))
+    ids |= set(re.findall(r"\*\((\d+)\)", txt))
     return len(ids)
 
 

@@ -1,0 +1,85 @@
+"""spark-submit entry point for the KG-construction job (north rule:
+``spark-submit --py-files gondar_spark.zip main.py --stage all``).
+
+Stages run through gondar_spark.pipeline with checkpoint/resume: rerunning
+after a failure skips committed stages. With --synthetic N the job
+generates the deterministic corpus (sandbox mode); in production point
+--source-table at an existing Iceberg table of
+(repo, path, commit, lang, content).
+
+Examples:
+  spark-submit --master local[32] main.py --synthetic 10000 \
+      --warehouse /tmp/wh --run-id run1
+  spark-submit --master yarn --py-files gondar_spark.zip main.py \
+      --source-table gondar.db.source_repos --warehouse s3://bucket/wh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="gondar_spark KG construction job")
+    p.add_argument("--warehouse", default="warehouse")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic source files instead of "
+                        "reading --source-table")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--source-table", default="source_repos")
+    p.add_argument("--chunk-lines", type=int, default=64)
+    p.add_argument("--link-threshold", type=float, default=0.60)
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.add_argument("--force", action="store_true",
+                   help="recompute all stages (ignore committed snapshots)")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from gondar_spark.config import JobConfig
+    from gondar_spark.pipeline import Pipeline
+    from gondar_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"gondar_kg_{args.run_id}",
+        shuffle_partitions=args.shuffle_partitions,
+        warehouse=args.warehouse,
+    )
+    cfg = JobConfig(
+        warehouse=args.warehouse,
+        run_id=args.run_id,
+        source_table=args.source_table,
+        chunk_lines=args.chunk_lines,
+        link_threshold=args.link_threshold,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    pipe = Pipeline(spark, cfg)
+    source_df = None
+    if args.synthetic:
+        from gondar_spark.synth import SynthConfig, generate_source_df
+
+        source_df = generate_source_df(
+            spark,
+            SynthConfig(n_files=args.synthetic, seed=args.seed),
+            partitions=args.shuffle_partitions * 4,
+        )
+    executed = pipe.run(source_df=source_df, force=args.force)
+    summary = {
+        "executed": executed,
+        "tables": {
+            t: (pipe.io.commit_meta(t) or {}).get("rows")
+            for t in ("triples", "entities", "aliases", "quarantine")
+            if pipe.io.exists(t)
+        },
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,173 @@
+"""Tests for textstats / dedup / similarity / multimodal operators."""
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gondar_spark.functions.textstats import (
+    with_fingerprints,
+    with_lang_scores,
+    with_quality_score,
+    with_token_count,
+)
+from gondar_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from gondar_spark.operators.multimodal import (
+    decode_image_real,
+    extract_media_features,
+    frame_sample_plan,
+    synthetic_media_df,
+)
+from gondar_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_per_probe,
+    embedding_near_dup,
+    ivf_topk,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+# ------------------------------------------------------------------ textstats
+def test_token_count(spark):
+    df = _docs(spark, ["a b  c", "", "   ", "one"])
+    got = {r["doc_id"]: r["token_count"]
+           for r in with_token_count(df).collect()}
+    assert got == {0: 3, 1: 0, 2: 0, 3: 1}
+
+
+def test_quality_score_bounds_and_empty(spark):
+    df = _docs(spark, ["the cat sat on the mat.", ""])
+    rows = {r["doc_id"]: r for r in with_quality_score(df).collect()}
+    assert 0.0 <= rows[0]["quality_score"] <= 1.0
+    assert rows[0]["stopword_ratio"] == pytest.approx(2 / 6, abs=1e-4)
+    assert rows[1]["token_count"] == 0 and rows[1]["quality_score"] == 0.2
+
+
+def test_lang_scores_argmax_tiebreak(spark):
+    df = _docs(spark, ["the and of is", "el la de que", "xyz"])
+    rows = {r["doc_id"]: r for r in with_lang_scores(df).collect()}
+    assert rows[0]["lang_pred"] == "en"
+    assert rows[1]["lang_pred"] == "es"
+    assert rows[2]["lang_pred"] == "en"  # all-zero tie -> first lang
+
+
+def test_fingerprints_near_dup_invariance(spark):
+    # same word stream with different whitespace -> same fp_exact
+    df = _docs(spark, ["a b c d e", " a  b c d e ", "a b c d x"])
+    rows = {r["doc_id"]: r for r in with_fingerprints(df).collect()}
+    assert rows[0]["fp_exact"] == rows[1]["fp_exact"]
+    assert rows[0]["fp_exact"] != rows[2]["fp_exact"]
+    assert rows[0]["fp_minshingle"] == rows[1]["fp_minshingle"]
+
+
+# -------------------------------------------------------------------- dedup
+def test_exact_dedup_counts(spark):
+    df = _docs(spark, ["same text", "same text", "other"])
+    rows = {r["text_hash"]: r for r in exact_dedup(df).collect()}
+    by_copies = sorted((r["n_copies"], r["keep_id"]) for r in rows.values())
+    assert by_copies == [(1, 2), (2, 0)]
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota KAPPA2"
+    far = "one two three four five six seven eight nine ten"
+    df = _docs(spark, [base, near, far])
+    pairs = minhash_lsh_pairs(df, threshold=0.4).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+    exact = ngram_jaccard_pairs(df, threshold=0.4).collect()
+    assert [(p["id_a"], p["id_b"]) for p in exact] == [(0, 1)]
+    assert pairs[0]["jaccard"] == exact[0]["jaccard"]
+
+
+def test_simhash_hamming_near_dups(spark):
+    # 100 tokens so one change flips few fingerprint bits (measured: 3 —
+    # within the 4x16-band pigeonhole guarantee for hamming <= 3)
+    words = ["w%d" % i for i in range(100)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["CHANGED"])         # 1 token differs
+    c = " ".join("z%d" % i for i in range(100))    # all differ
+    df = _docs(spark, [a, b, c])
+    pairs = simhash_dedup(df, max_hamming=3).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(0, 1, 3)]
+
+
+# ---------------------------------------------------------------- similarity
+def _emb(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [1.0, 0.05, 0.0]),  # closest to 0
+    ]
+    return spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark):
+    df = _emb(spark).filter(F.col("vec_id") != 0)
+    top = cosine_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [4, 1]
+    want = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert top[1]["cosine"] == pytest.approx(want, abs=1e-6)
+
+
+def test_knn_per_probe_ranks(spark):
+    df = _emb(spark)
+    out = cosine_topk_per_probe(df, df.filter(F.col("vec_id") == 0), k=2)
+    rows = out.orderBy("rank").collect()
+    assert [(r["data_id"], r["rank"]) for r in rows] == [(4, 1), (1, 2)]
+
+
+def test_ivf_topk_recalls_bruteforce_with_enough_probes(spark):
+    df = _emb(spark).filter(F.col("vec_id") != 0)
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    brute = [r["vec_id"] for r in cosine_topk(df, [1.0, 0.0, 0.0], 2).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(df, [1.0, 0.0, 0.0], cents, k=2, n_probe=3).collect()]
+    assert approx == brute  # probing every cell == exact
+
+
+def test_embedding_near_dup_blocked(spark):
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    pairs = embedding_near_dup(_emb(spark), cents, threshold=0.99).collect()
+    # 0=[1,0,0], 1=[.9,.1,0], 4=[1,.05,0] are pairwise >= 0.99 cosine
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1), (0, 4), (1, 4)}
+
+
+# ---------------------------------------------------------------- multimodal
+def test_media_features_deterministic_and_shaped(spark):
+    media = synthetic_media_df(spark, n=30)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["features"]) == 16 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    # deterministic: same payload bytes -> same features on a rerun
+    again = {r["media_id"]: r["features"]
+             for r in extract_media_features(media).collect()}
+    assert by_id[0]["features"] == again[0]
+
+
+def test_media_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\xff\xd8")
+
+
+def test_frame_sample_plan(spark):
+    media = synthetic_media_df(spark, n=12)
+    plan = frame_sample_plan(media).collect()
+    assert plan and all(r["frame_idx"] >= 0 for r in plan)
+    assert {r["mime"] for r in plan} == {"video/mp4"}

@@ -1,0 +1,88 @@
+"""Structured-streaming extraction + physical-plan-shape assertions."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gondar_spark.plans.inspect import (
+    codegen_stage_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from gondar_spark.streaming.jobs import (
+    run_streaming_extraction,
+    windowed_event_counts,
+)
+from gondar_spark.synth import SynthConfig, generate_source_df
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- streaming
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    scfg = SynthConfig(n_files=60)
+    batch_src = generate_source_df(spark, scfg, partitions=4)
+    batch_src.write.parquet(src_dir)
+
+    run_streaming_extraction(spark, src_dir, out_dir, ckpt)
+    streamed = spark.read.parquet(out_dir)
+
+    from gondar_spark.operators import chunk, extract
+    units = chunk.prepare_extraction_units(batch_src, 64)
+    raw = extract.extract_triples(units, chunk_lines=64, emit_metrics=False)
+    batch_triples, _, _ = extract.split_extraction(raw)
+
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch_triples.collect()}
+    assert s == b and len(s) > 100
+
+    # exactly-once on restart: rerunning with the same checkpoint is a no-op
+    n_before = streamed.count()
+    run_streaming_extraction(spark, src_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = windowed_event_counts(ev, window="1 hour")
+    row = out.agg(F.sum("n_events")).collect()[0][0]
+    assert row == ev.count()  # tumbling windows partition all events
+
+
+# ------------------------------------------------------------------- plans
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang")
+    )
+    pf = pushed_filters(df)
+    assert any("EqualTo(lang,en)" in p for p in pf), pf
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars") > 100)
+    )
+    cols = read_schema_columns(df)
+    assert cols and set(cols[0]) == {"doc_id", "n_chars"}, cols
+
+
+def test_small_dim_join_broadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF}/supplier.parquet")
+    j = li.join(supp, li.l_suppkey == supp.s_suppkey)
+    assert has_broadcast_join(j)
+
+
+def test_aggregation_stays_in_codegen(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    assert codegen_stage_count(agg) >= 1
