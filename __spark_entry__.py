@@ -417,6 +417,106 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+# --- B10: skew-proof salted two-phase aggregation ---------------------------
+def q_salted_user_counts(spark, sf_dir):
+    from gondar_spark.operators.topk import two_phase_count
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return two_phase_count(ev, "user_id", buckets=8)
+
+
+# --- B8 alternative: edit-distance pairwise scoring --------------------------
+def q_edit_similarity_nations(spark, sf_dir):
+    from gondar_spark.operators.scoring import edit_similarity
+
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name"))
+    pairs = (
+        n.withColumnRenamed("n_name", "norm_a")
+        .join(n.withColumnRenamed("n_name", "norm_b"))
+        .filter(F.col("norm_a") < F.col("norm_b"))
+    )
+    return (
+        edit_similarity(pairs)
+        .withColumn("edit_sim", round_half_up(F.col("edit_sim"), 4))
+        .filter(F.col("edit_sim") >= 0.4)
+    )
+
+
+# --- rollup aggregation -------------------------------------------------------
+def q_rollup_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# --- sessionization: 30-min-gap sessions per user (lag + running sum) --------
+def q_sessionize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # epoch seconds; only DIFFERENCES are used, so timezone cancels out
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0).cast("long"),
+    )
+    sessioned = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+# --- pivot-style matrix --------------------------------------------------------
+def q_lang_source_matrix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    aggs = [
+        F.count(F.when(F.col("lang") == lg, 1)).cast("long").alias(f"n_{lg}")
+        for lg in ("en", "es", "de", "fr", "zh")
+    ]
+    return docs.groupBy("source").agg(*aggs)
+
+
+# --- embedding near-dup with planted duplicates (exact, SQL-oracled) ----------
+def q_embedding_near_dup_exact(spark, sf_dir):
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        .select("vec_id", "embedding")
+    )
+    # plant exact-direction duplicates: scaled copies (cosine == 1)
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    both = emb.unionByName(dups).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = both.withColumnsRenamed({"vec_id": "id_a", "v": "v_a"})
+    b = both.withColumnsRenamed({"vec_id": "id_b", "v": "v_b"})
+    from gondar_spark.operators.similarity import cosine_col
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            round_half_up(cosine_col(F.col("v_a"), F.col("v_b")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.9999)
+    )
+
+
 def q_orders_running_total(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     w = (
@@ -508,6 +608,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_volume": q_nation_volume,
         "events_topk_users": q_events_topk_users,
         "events_hourly": q_events_hourly,
+        "salted_user_counts": q_salted_user_counts,
+        "edit_similarity_nations": q_edit_similarity_nations,
+        "rollup_pricing": q_rollup_pricing,
+        "sessionize_events": q_sessionize_events,
+        "lang_source_matrix": q_lang_source_matrix,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "orders_running_total": q_orders_running_total,
         "union_projections": q_union_projections,
         "distinct_pairs": q_distinct_pairs,
@@ -871,6 +977,78 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "salted_user_counts": """
+            SELECT user_id, count(*)::BIGINT AS cnt
+            FROM events GROUP BY user_id
+        """,
+        "edit_similarity_nations": """
+            WITH pairs AS (
+                SELECT a.n_name AS norm_a, b.n_name AS norm_b
+                FROM nation a, nation b WHERE a.n_name < b.n_name
+            )
+            SELECT norm_a, norm_b,
+                   (floor((1.0 - levenshtein(norm_a, norm_b)::DOUBLE /
+                           greatest(length(norm_a), length(norm_b)))
+                          * 10000.0 + 0.5) / 10000.0) AS edit_sim
+            FROM pairs
+            WHERE (floor((1.0 - levenshtein(norm_a, norm_b)::DOUBLE /
+                          greatest(length(norm_a), length(norm_b)))
+                         * 10000.0 + 0.5) / 10000.0) >= 0.4
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*)::BIGINT AS n,
+                   (floor(sum(l_quantity) * 100.0 + 0.5) / 100.0) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "sessionize_events": """
+            WITH gapped AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WHERE user_id < 30
+            ), sessioned AS (
+                SELECT user_id, event_id, ts,
+                       sum(new_session) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           ::BIGINT AS session_id
+                FROM gapped
+            )
+            SELECT user_id, session_id,
+                   count(*)::BIGINT AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+            FROM sessioned GROUP BY user_id, session_id
+        """,
+        "lang_source_matrix": """
+            SELECT source,
+                   count(CASE WHEN lang = 'en' THEN 1 END)::BIGINT AS n_en,
+                   count(CASE WHEN lang = 'es' THEN 1 END)::BIGINT AS n_es,
+                   count(CASE WHEN lang = 'de' THEN 1 END)::BIGINT AS n_de,
+                   count(CASE WHEN lang = 'fr' THEN 1 END)::BIGINT AS n_fr,
+                   count(CASE WHEN lang = 'zh' THEN 1 END)::BIGINT AS n_zh
+            FROM documents GROUP BY source
+        """,
+        "embedding_near_dup_exact": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 150
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id,
+                       list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+                FROM embeddings WHERE vec_id < 150 AND vec_id % 20 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   (floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
+                    / 1000000.0) AS cosine
+            FROM base a, base b
+            WHERE a.vec_id < b.vec_id
+              AND (floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
+                   / 1000000.0) >= 0.9999
         """,
         "orders_running_total": """
             SELECT o_custkey, o_orderkey,
