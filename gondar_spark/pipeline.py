@@ -74,7 +74,14 @@ class Pipeline:
         return True
 
     # ---- stages -----------------------------------------------------------
-    def run(self, source_df: DataFrame | None = None, force: bool = False) -> dict:
+    def run(self, source_df: DataFrame | None = None, force: bool = False,
+            incremental: bool = False) -> dict:
+        """Run all stages with resume. ``incremental=True`` additionally
+        enables file-level resume of the extraction stage: files already
+        present in the committed ``triples_raw`` snapshot are skipped via
+        an anti-join on (repo, path, commit), and downstream stages are
+        recomputed only when extraction actually added rows (B12 —
+        resume-by-anti-join, /root/repo/BASELINE.json:6,14)."""
         cfg = self.cfg
         executed: dict[str, bool] = {}
 
@@ -86,21 +93,59 @@ class Pipeline:
                  "source_hashes": source.with_content_sha(source_df).select(
                      "repo", "path", "commit", "content_sha256")},
                 partition_by={cfg.source_table: ["lang"]},
-                force=force,
+                force=force or incremental,
             )
         src = self.io.read(cfg.source_table)
 
         # stage 2: chunk + vectorized extraction (B3/B4)
-        def _extract():
-            units = chunk.prepare_extraction_units(src, cfg.chunk_lines)
+        def _extract(base_src, done_keys=None):
+            todo = base_src
+            if done_keys is not None:
+                todo = base_src.join(done_keys, ["repo", "path", "commit"],
+                                     "left_anti")
+            units = chunk.prepare_extraction_units(todo, cfg.chunk_lines)
             raw = extract.extract_triples(units, cfg.extractor_max_retries,
                                           cfg.chunk_lines)
-            triples, quarantine, metrics = extract.split_extraction(raw)
-            return {"triples_raw": triples, "quarantine": quarantine,
-                    "extract_metrics": metrics.select(
-                        F.col("obj").alias("metric"), "chunk_id")}
-        executed["triples_raw"] = self._run_stage_lazy(
-            "triples_raw", _extract, force=force)
+            return extract.split_extraction(raw)
+
+        if incremental and self.io.exists("triples_raw") and not force:
+            old = self.io.read("triples_raw")
+            done = old.select("repo", "path", "commit").distinct()
+            # NB: files whose extraction yielded ZERO triples re-extract —
+            # cheap and idempotent; tracking them would need a done-file
+            # ledger (the sha table serves in a later round if needed).
+            new_triples, new_quarantine, _ = _extract(src, done)
+            # materialize BEFORE overwriting triples_raw: these plans read
+            # the old snapshot lazily, and the upcoming swap would change
+            # what the anti-join sees mid-write
+            new_triples = new_triples.localCheckpoint(eager=True)
+            new_quarantine = new_quarantine.localCheckpoint(eager=True)
+            n_new = new_triples.count()
+            if n_new > 0:
+                merged = old.unionByName(new_triples)
+                self._run_stage(
+                    "triples_raw",
+                    {"triples_raw": merged,
+                     "quarantine": self.io.read("quarantine").unionByName(
+                         new_quarantine)},
+                    force=True,
+                )
+                self._log("triples_raw_incremental", new_rows=n_new)
+                executed["triples_raw"] = True
+                force_downstream = True
+            else:
+                self._log("triples_raw_incremental", new_rows=0, skipped=True)
+                executed["triples_raw"] = False
+                force_downstream = False
+            force = force or force_downstream
+        else:
+            def _extract_all():
+                triples, quarantine, metrics = _extract(src)
+                return {"triples_raw": triples, "quarantine": quarantine,
+                        "extract_metrics": metrics.select(
+                            F.col("obj").alias("metric"), "chunk_id")}
+            executed["triples_raw"] = self._run_stage_lazy(
+                "triples_raw", _extract_all, force=force)
         triples_raw = self.io.read("triples_raw")
 
         # stage 3: distinct normalized mentions (B5)

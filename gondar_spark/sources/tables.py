@@ -80,6 +80,9 @@ class TableIO:
             if os.path.exists(final):
                 shutil.rmtree(final)
             os.rename(tmp, final)
+            # drop Spark's cached file listing for the swapped path —
+            # otherwise later reads resolve to the pre-swap part files
+            self.spark.catalog.refreshByPath(final)
             return commit
         except Exception as e:  # pragma: no cover - defensive
             shutil.rmtree(tmp, ignore_errors=True)
@@ -116,3 +119,4 @@ class TableIO:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
         else:
             shutil.rmtree(self._path(name), ignore_errors=True)
+            self.spark.catalog.refreshByPath(self._path(name))

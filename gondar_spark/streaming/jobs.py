@@ -61,6 +61,37 @@ def run_streaming_extraction(
     q.awaitTermination()
 
 
+def stateful_repo_totals(triple_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: running per-repo triple totals
+    across micro-batches via ``applyInPandasWithState`` (the
+    arbitrary-state path for operators windowed aggs can't express —
+    analog of the reference's Memory stub role, DB-backed accumulation,
+    /root/reference/gondar/modules/PubMedFlow.py:26-28).
+
+    State: one long per repo. Output mode 'update': each micro-batch
+    emits the new total for every repo it touched.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+        total += seen
+        state.update((total,))
+        yield pd.DataFrame({"repo": [key[0]], "total_triples": [total]})
+
+    return triple_stream.groupBy("repo").applyInPandasWithState(
+        update,
+        outputStructType="repo string, total_triples long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts per event_type (late data beyond

@@ -47,6 +47,55 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n_before
 
 
+def test_stateful_repo_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: with
+    maxFilesPerTrigger=1 and two source files, the final per-repo totals
+    must equal the batch-computed counts."""
+    from gondar_spark.operators import chunk, extract
+    from gondar_spark.streaming.jobs import (
+        stateful_repo_totals,
+        stream_source,
+        streaming_extraction,
+    )
+
+    src_dir = str(tmp_path / "ssrc")
+    scfg = SynthConfig(n_files=40)
+    batch_src = generate_source_df(spark, scfg, partitions=2)
+    batch_src.coalesce(1).write.mode("append").parquet(src_dir)
+    # second file: different slice of the same deterministic corpus
+    generate_source_df(
+        spark, SynthConfig(n_files=80), partitions=2
+    ).exceptAll(batch_src).coalesce(1).write.mode("append").parquet(src_dir)
+
+    triples = streaming_extraction(
+        stream_source(spark, src_dir, max_files_per_trigger=1)
+    )
+    totals = stateful_repo_totals(triples)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("repo_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per repo = running total after the final micro-batch
+    updates = spark.sql("select * from repo_totals").toPandas()
+    final = updates.groupby("repo")["total_triples"].max()
+
+    full_src = spark.read.parquet(src_dir)
+    units = chunk.prepare_extraction_units(full_src, 64)
+    raw = extract.extract_triples(units, chunk_lines=64, emit_metrics=False)
+    batch_triples, _, _ = extract.split_extraction(raw)
+    want = {
+        r["repo"]: r["n"]
+        for r in batch_triples.groupBy("repo").agg(
+            F.count("*").alias("n")).collect()
+    }
+    assert dict(final) == want
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     out = windowed_event_counts(ev, window="1 hour")
