@@ -109,6 +109,29 @@ def bench_extraction(spark, n_files: int) -> dict:
     }
 
 
+def bench_full_pipeline(spark, n_files: int = 2000) -> float:
+    """Wall-clock of the whole staged job (extract -> link -> CC ->
+    materialize) including snapshot writes, on a temp warehouse."""
+    import shutil
+    import tempfile
+
+    from gondar_spark.config import JobConfig
+    from gondar_spark.pipeline import Pipeline
+    from gondar_spark.synth import SynthConfig, generate_source_df
+
+    wh = tempfile.mkdtemp(prefix="gondar_bench_wh_")
+    try:
+        cfg = JobConfig(warehouse=wh, run_id="bench")
+        src = generate_source_df(
+            spark, SynthConfig(n_files=n_files, seed=5), partitions=32
+        )
+        t0 = time.time()
+        Pipeline(spark, cfg).run(source_df=src)
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -135,6 +158,9 @@ def main() -> None:
 
     extraction = bench_extraction(spark, n_files)
     timings["kg_extraction"] = extraction["sec"]
+
+    if not only_extraction:
+        timings["kg_pipeline_full"] = bench_full_pipeline(spark)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

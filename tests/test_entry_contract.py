@@ -1,0 +1,79 @@
+"""Driver-contract guard: entry() runs and returns rows; a representative
+subset of queries() matches its DuckDB oracle at sf0.001 (the full sweep
+lives in tools/check_oracles.py; the driver runs everything at sf0.01)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# fast, structurally diverse subset (full sweep: tools/check_oracles.py)
+SUBSET = [
+    "scan_pushdown_topk", "semi_join_fetch", "string_agg_run_mode",
+    "json_extract_events", "extraction_regex", "exact_dedup",
+    "minhash_signatures", "cosine_topk", "quality_scores", "lang_id",
+    "pricing_summary", "top_revenue_orders", "events_topk_users",
+    "rollup_pricing", "sessionize_events", "salted_user_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _canon(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float):
+                vals.append("nan" if math.isnan(v) else f"{v:.6g}")
+            elif hasattr(v, "isoformat"):
+                vals.append(v.isoformat())
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 500
+    assert {"subj", "pred", "obj"} <= set(df.columns)
+
+
+def test_every_query_has_callable_and_alias_discipline():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 35
+    assert set(oracles) <= set(qs)
+    # >= 90% of queries must carry an exact oracle
+    assert len(oracles) / len(qs) >= 0.9
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    qs = entrymod.queries()
+    sdf = qs[name](spark, SF)
+    srows = [r.asDict() for r in sdf.collect()]
+    scols = sorted(sdf.columns)
+
+    rel = duck.sql(entrymod.oracle_sql()[name])
+    dcols_raw = rel.columns
+    drows = [dict(zip(dcols_raw, r)) for r in rel.fetchall()]
+
+    assert scols == sorted(dcols_raw)
+    assert len(srows) == len(drows)
+    assert _canon(srows, scols) == _canon(drows, scols)
