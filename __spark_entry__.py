@@ -562,6 +562,38 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+# --- exact percentile aggregation ---------------------------------------------
+def q_median_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        round_half_up(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+    )
+
+
+# --- set ops: anti join + except -----------------------------------------------
+def q_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000
+    )
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey,
+                  "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_docs_except_en(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    en = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    return docs.exceptAll(en)
+
+
 # --- KG pipeline on synthetic code (non-SQL: rows-only smoke) ---------------------
 def q_kg_triples(spark, sf_dir):
     from gondar_spark.operators import chunk, extract
@@ -614,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "lang_source_matrix": q_lang_source_matrix,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "median_quantity": q_median_quantity,
+        "customers_without_orders": q_customers_without_orders,
+        "docs_except_en": q_docs_except_en,
         "orders_running_total": q_orders_running_total,
         "union_projections": q_union_projections,
         "distinct_pairs": q_distinct_pairs,
@@ -1049,6 +1084,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND (floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
                    / 1000000.0) >= 0.9999
+        """,
+        "median_quantity": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS median_qty,
+                   (floor(quantile_cont(l_quantity, 0.9) * 10000.0 + 0.5)
+                    / 10000.0) AS p90_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        """,
+        "docs_except_en": """
+            SELECT doc_id FROM documents
+            EXCEPT ALL
+            SELECT doc_id FROM documents WHERE lang = 'en'
         """,
         "orders_running_total": """
             SELECT o_custkey, o_orderkey,

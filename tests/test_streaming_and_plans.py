@@ -131,6 +131,21 @@ def test_small_dim_join_broadcasts(spark):
     assert has_broadcast_join(j)
 
 
+def test_extraction_plan_has_no_shuffle(spark):
+    """Scale guard: scan -> unitize -> mapInPandas extraction must be a
+    single narrow pipeline — an Exchange here would shuffle the full
+    corpus bytes before the extractor (job-killer at 100 TB)."""
+    from gondar_spark.operators import chunk, extract
+    from gondar_spark.plans.inspect import explain_str
+
+    src = generate_source_df(spark, SynthConfig(n_files=10), partitions=2)
+    units = chunk.prepare_extraction_units(src, 64)
+    raw = extract.extract_triples(units, chunk_lines=64, emit_metrics=False)
+    triples, _, _ = extract.split_extraction(raw)
+    plan = explain_str(triples, "simple")
+    assert "Exchange" not in plan, plan
+
+
 def test_aggregation_stays_in_codegen(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
