@@ -66,9 +66,13 @@ def entry(spark: SparkSession) -> DataFrame:
     raw = extract.extract_triples(units, cfg.extractor_max_retries,
                                   cfg.chunk_lines, emit_metrics=False)
     triples, _, _ = extract.split_extraction(raw)
+    # no-write flagship path: persist the fan-out points, else the LSH
+    # self-join and CC loop re-run extraction once per DAG branch
+    triples = triples.persist()
     mentions = normalize.normalize_mentions(triples)
     sig = blocking.minhash_signature_df(mentions, cfg.minhash_hashes,
-                                        cfg.extractor_seed, cfg.shingle_size)
+                                        cfg.extractor_seed, cfg.shingle_size
+                                        ).persist()
     blocks = blocking.band_keys_df(sig, cfg.minhash_hashes, cfg.lsh_bands)
     pairs = blocking.candidate_pairs(blocks)
     edges = score_pairs(pairs, sig, cfg.link_threshold)
