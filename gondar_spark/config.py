@@ -26,7 +26,8 @@ class JobConfig:
     # --- chunking (SURVEY.md B3; analog of get_Body sectioning,
     #     /root/reference/gondar/tools/entrez.py:36-56) ---
     chunk_lines: int = 64                 # lines per extraction chunk
-    max_chunk_chars: int = 1 << 20        # hard cap so Arrow batches stay bounded
+    max_chunk_chars: int = 1 << 20        # files above this are JVM-pre-split
+                                          # so Arrow rows stay bounded
     # --- extractor (SURVEY.md B4; analog of AzureOpenAIWrapper defaults,
     #     /root/reference/gondar/modules/PubMedFlow.py:71-75,104) ---
     extractor_seed: int = 1001            # reference pins seed=1001

@@ -101,7 +101,6 @@ def with_lang_scores(df: DataFrame, col: str = "text") -> DataFrame:
         )
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
-    pred = F.lit(None).cast("string")
     expr = None
     for lg in langs:  # first lang reaching the max wins (stable tie-break)
         cond = F.col(f"score_{lg}") == best

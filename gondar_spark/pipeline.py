@@ -103,7 +103,8 @@ class Pipeline:
             if done_keys is not None:
                 todo = base_src.join(done_keys, ["repo", "path", "commit"],
                                      "left_anti")
-            units = chunk.prepare_extraction_units(todo, cfg.chunk_lines)
+            units = chunk.prepare_extraction_units(
+                todo, cfg.chunk_lines, pass_through_chars=cfg.max_chunk_chars)
             raw = extract.extract_triples(units, cfg.extractor_max_retries,
                                           cfg.chunk_lines)
             return extract.split_extraction(raw)

@@ -146,6 +146,32 @@ def test_extraction_plan_has_no_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Both sides bucketed by the join key with equal bucket counts ->
+    the join plan contains no Exchange (co-located join; the 100 TB
+    pattern for repeated joins on one key)."""
+    from gondar_spark.plans.inspect import explain_str
+    from gondar_spark.sources.bucketing import read_table, write_bucketed
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    write_bucketed(orders, "b_orders", str(tmp_path / "bo"), "o_custkey", 8)
+    write_bucketed(cust, "b_cust", str(tmp_path / "bc"), "c_custkey", 8)
+    try:
+        j = read_table(spark, "b_orders").join(
+            read_table(spark, "b_cust").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = explain_str(j, "simple")
+        assert "Exchange" not in plan, plan
+        # and the result is correct
+        assert j.count() == orders.join(
+            cust, orders.o_custkey == cust.c_custkey).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
 def test_aggregation_stays_in_codegen(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
