@@ -599,19 +599,55 @@ def q_docs_except_en(spark, sf_dir):
 
 
 # --- KG pipeline on synthetic code (non-SQL: rows-only smoke) ---------------------
-def q_kg_triples(spark, sf_dir):
+def _mini_kg_triples(spark, n_files=80):
     from gondar_spark.operators import chunk, extract
     from gondar_spark.synth import SynthConfig, generate_source_df
 
-    src = generate_source_df(spark, SynthConfig(n_files=80), partitions=8)
+    src = generate_source_df(spark, SynthConfig(n_files=n_files), partitions=8)
     raw = extract.extract_triples(
         chunk.prepare_extraction_units(src, 64), chunk_lines=64,
         emit_metrics=False,
     )
     triples, _, _ = extract.split_extraction(raw)
-    return triples.groupBy("pred", "kind").agg(
+    return triples
+
+
+def q_kg_triples(spark, sf_dir):
+    return _mini_kg_triples(spark).groupBy("pred", "kind").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+def q_kg_edges(spark, sf_dir):
+    """Linking stages B5-B8 end-to-end (rows-only: md5 chain IS oracled
+    separately via minhash_signatures/minhash_lsh_pairs)."""
+    from gondar_spark.operators import blocking, normalize
+    from gondar_spark.operators.scoring import score_pairs
+
+    triples = _mini_kg_triples(spark).persist()
+    mentions = normalize.normalize_mentions(triples)
+    sig = blocking.minhash_signature_df(mentions, 16, SEED, 3)
+    blocks = blocking.band_keys_df(sig, 16, 8)
+    pairs = blocking.candidate_pairs(blocks)
+    return score_pairs(pairs, sig, 0.6).withColumn(
+        "jaccard", round_half_up(F.col("jaccard"), 4)
+    )
+
+
+def q_kg_entities(spark, sf_dir):
+    """Canonicalization B9/B11 end-to-end (rows-only: iterative CC)."""
+    from gondar_spark.operators import blocking, cc, materialize, normalize
+    from gondar_spark.operators.scoring import score_pairs
+
+    triples = _mini_kg_triples(spark).persist()
+    mentions = normalize.normalize_mentions(triples).persist()
+    sig = blocking.minhash_signature_df(mentions, 16, SEED, 3).persist()
+    blocks = blocking.band_keys_df(sig, 16, 8)
+    pairs = blocking.candidate_pairs(blocks)
+    edges = score_pairs(pairs, sig, 0.6)
+    labels = cc.connected_components(edges, 20)
+    entities, _aliases = materialize.entity_tables(mentions, labels)
+    return entities
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -658,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": q_distinct_pairs,
         "latest_event_per_user": q_latest_event_per_user,
         "kg_triples": q_kg_triples,
+        "kg_edges": q_kg_edges,
+        "kg_entities": q_kg_entities,
     }
 
 

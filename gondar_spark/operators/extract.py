@@ -29,13 +29,21 @@ into the lineage table (A20 analog — PubMedFlow.py:242, Flow.py:27-40).
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..extraction.spec import extract_from_content
+
+# an extractor maps (lang, text) -> [(pred, obj, kind, line_no), ...].
+# The default is the deterministic spec extractor; a real LLM backend
+# plugs in here (assemble prompts per micro-batch with
+# extraction.prompts.build_messages, call the model once per batch, parse
+# JSON back to fact tuples) — the retry/quarantine/metrics machinery
+# around it is shared and unchanged.
+ExtractorFn = Callable[[str, str], list]
 
 EXTRACT_SCHEMA = T.StructType(
     [
@@ -55,7 +63,9 @@ _COLS = [f.name for f in EXTRACT_SCHEMA]
 
 
 def _extract_micro_batch(pdf: pd.DataFrame, chunk_lines: int,
-                         max_retries: int) -> dict[str, list]:
+                         max_retries: int,
+                         extractor: ExtractorFn = extract_from_content
+                         ) -> dict[str, list]:
     """One extractor invocation per micro-batch (the batched 'LLM call')."""
     cols: dict[str, list] = {c: [] for c in _COLS}
 
@@ -79,7 +89,7 @@ def _extract_micro_batch(pdf: pd.DataFrame, chunk_lines: int,
         attempt = 0
         while True:
             try:
-                facts = extract_from_content(lang, unit)
+                facts = extractor(lang, unit)
                 break
             except Exception as e:  # quarantine, never silently drop (A15)
                 attempt += 1
@@ -96,7 +106,9 @@ def _extract_micro_batch(pdf: pd.DataFrame, chunk_lines: int,
 
 def extract_triples(units: DataFrame, max_retries: int = 2,
                     chunk_lines: int = 64,
-                    emit_metrics: bool = True) -> DataFrame:
+                    emit_metrics: bool = True,
+                    extractor: ExtractorFn = extract_from_content
+                    ) -> DataFrame:
     """units(repo,path,commit,lang,base_chunk,unit) -> triple rows.
 
     Column-prunes its own input (only the needed columns cross the Arrow
@@ -107,7 +119,8 @@ def extract_triples(units: DataFrame, max_retries: int = 2,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols = _extract_micro_batch(pdf, chunk_lines, max_retries)
+            cols = _extract_micro_batch(pdf, chunk_lines, max_retries,
+                                        extractor)
             if emit_metrics:
                 cols["subj"].append("__batch__")
                 cols["pred"].append("__metric__")

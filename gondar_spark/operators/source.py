@@ -65,3 +65,28 @@ def semi_join_fetch(content_df: DataFrame, ids_df: DataFrame,
     """A2 analog: fetch full rows for a (small) id set — broadcast
     left-semi join, no shuffle of the big side."""
     return content_df.join(F.broadcast(ids_df), keys, "left_semi")
+
+
+EMPTY_CORPUS_SENTINEL = "There is no valid reference."
+
+
+def flatten_corpus(df: DataFrame, limit: int = 100) -> str:
+    """A10 'run mode' analog (/root/reference/gondar/tools/entrez.py:191-211):
+    flatten a (small, limited) corpus to one LLM-ready context string —
+    records joined with blank lines, fields with newlines; empty corpus
+    short-circuits to the sentinel (entrez.py:192-200).
+
+    Driver-side by design: run mode exists to feed one prompt, so `limit`
+    bounds the collect. The distributed pipeline never calls this."""
+    rows = (
+        df.select(
+            F.concat_ws(
+                "\n", F.col("repo"), F.col("path"), F.col("content")
+            ).alias("flat")
+        )
+        .limit(limit)
+        .collect()
+    )
+    if not rows:
+        return EMPTY_CORPUS_SENTINEL
+    return "\n\n".join(r["flat"] for r in rows)
