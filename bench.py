@@ -132,6 +132,26 @@ def bench_full_pipeline(spark, n_files: int = 2000) -> float:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def bench_cc(spark, n_edges: int = 100_000) -> float:
+    """Connected components on a 100k-edge graph (chains hanging off hubs
+    — deep components force several large/small-star rounds)."""
+    from pyspark.sql import functions as F
+
+    from gondar_spark.operators.cc import connected_components
+
+    e = spark.range(0, n_edges, 1, 32).select(
+        F.concat(F.lit("n"), F.col("id")).alias("norm_a"),
+        F.concat(
+            F.lit("n"),
+            F.when(F.col("id") % 100 == 0, (F.col("id") / 100).cast("long"))
+            .otherwise(F.col("id") + 1),
+        ).alias("norm_b"),
+    )
+    t0 = time.time()
+    connected_components(e, max_iter=30).count()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -161,6 +181,7 @@ def main() -> None:
 
     if not only_extraction:
         timings["kg_pipeline_full"] = bench_full_pipeline(spark)
+        timings["kg_cc_100k"] = bench_cc(spark)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -33,7 +33,11 @@ LANGS = ("python", "java", "go", "js", "rust")
 # predicate vocabulary — plays the role of the reference's typed "heads"
 # (/root/reference/gondar/modules/PubMedFlow.py:213-218); the parenthesized
 # head type (Named Entity / Values-Unit / Brief) becomes `kind`.
-PREDICATES = ("defines_fn", "defines_type", "imports", "calls", "mentions")
+# `has_attr` is the A8 analog: structured attribute blocks extracted as an
+# auxiliary mention source (reference: table-wrap collection,
+# /root/reference/gondar/tools/entrez.py:71-85).
+PREDICATES = ("defines_fn", "defines_type", "imports", "calls", "mentions",
+              "has_attr")
 
 # --------------------------------------------------------------------------
 # line grammar (shared by the synthetic generator) and extraction regexes
@@ -46,6 +50,7 @@ LANG_SYNTAX: dict[str, dict[str, str]] = {
         "imp": "import {target}",
         "call": "    out = {name}(ctx)",
         "lit": '    log("{mention}")',
+        "attr": 'OWNER = "{value}"',
         "comment": "# {words}",
     },
     "java": {
@@ -54,6 +59,7 @@ LANG_SYNTAX: dict[str, dict[str, str]] = {
         "imp": "import {target};",
         "call": "        Result out = {name}(ctx);",
         "lit": '        log("{mention}");',
+        "attr": 'static final String OWNER = "{value}";',
         "comment": "// {words}",
     },
     "go": {
@@ -62,6 +68,7 @@ LANG_SYNTAX: dict[str, dict[str, str]] = {
         "imp": 'import "{target}"',
         "call": "\tout := {name}(ctx)",
         "lit": '\tlog("{mention}")',
+        "attr": 'const OWNER = "{value}"',
         "comment": "// {words}",
     },
     "js": {
@@ -70,6 +77,7 @@ LANG_SYNTAX: dict[str, dict[str, str]] = {
         "imp": "import '{target}'",
         "call": "  const out = {name}(ctx)",
         "lit": '  log("{mention}")',
+        "attr": 'const OWNER = "{value}"',
         "comment": "// {words}",
     },
     "rust": {
@@ -78,6 +86,7 @@ LANG_SYNTAX: dict[str, dict[str, str]] = {
         "imp": "use {target};",
         "call": "    let out = {name}(ctx);",
         "lit": '    log("{mention}");',
+        "attr": 'const OWNER: &str = "{value}";',
         "comment": "// {words}",
     },
 }
@@ -88,26 +97,33 @@ _RULES: dict[str, list[tuple[str, str, re.Pattern]]] = {
         ("defines_fn", "symbol", re.compile(r"^def (\w+)\(")),
         ("defines_type", "symbol", re.compile(r"^class (\w+):")),
         ("imports", "module", re.compile(r"^import ([\w.]+)$")),
+        ("has_attr", "literal", re.compile(r'^OWNER = "([^"\n]+)"$')),
     ],
     "java": [
         ("defines_fn", "symbol", re.compile(r"^public static \w+ (\w+)\(")),
         ("defines_type", "symbol", re.compile(r"^class (\w+) \{")),
         ("imports", "module", re.compile(r"^import ([\w.]+);$")),
+        ("has_attr", "literal",
+         re.compile(r'^static final String OWNER = "([^"\n]+)";$')),
     ],
     "go": [
         ("defines_fn", "symbol", re.compile(r"^func (\w+)\(")),
         ("defines_type", "symbol", re.compile(r"^type (\w+) struct \{")),
         ("imports", "module", re.compile(r'^import "([\w/.]+)"$')),
+        ("has_attr", "literal", re.compile(r'^const OWNER = "([^"\n]+)"$')),
     ],
     "js": [
         ("defines_fn", "symbol", re.compile(r"^function (\w+)\(")),
         ("defines_type", "symbol", re.compile(r"^class (\w+) \{")),
         ("imports", "module", re.compile(r"^import '([\w/.]+)'$")),
+        ("has_attr", "literal", re.compile(r'^const OWNER = "([^"\n]+)"$')),
     ],
     "rust": [
         ("defines_fn", "symbol", re.compile(r"^fn (\w+)\(")),
         ("defines_type", "symbol", re.compile(r"^struct (\w+) \{")),
         ("imports", "module", re.compile(r"^use ([\w:]+);$")),
+        ("has_attr", "literal",
+         re.compile(r'^const OWNER: &str = "([^"\n]+)";$')),
     ],
 }
 # lang-independent rules: assignment-call and string-literal mention

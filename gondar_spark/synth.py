@@ -250,14 +250,19 @@ def render_file(cfg: SynthConfig, pool: list[EntityCluster], file_id: int):
             pred, tpl, kind = "imports", syn["imp"], "module"
             obj = rng.choice(_IMPORT_TARGETS[lang])
             line = tpl.format(target=obj)
-        elif kind_roll < 0.85:
+        elif kind_roll < 0.82:
             pred, tpl, kind = "calls", syn["call"], "symbol"
             obj = rng.choice(cl.variants)
             line = tpl.format(name=obj)
-        else:
+        elif kind_roll < 0.94:
             pred, tpl, kind = "mentions", syn["lit"], "literal"
             obj = cl.literal or cl.variants[0]
             line = tpl.format(mention=obj)
+        else:
+            # A8 analog: structured attribute as auxiliary mention source
+            pred, tpl, kind = "has_attr", syn["attr"], "literal"
+            obj = cl.literal or cl.variants[0]
+            line = tpl.format(value=obj)
         if (pred, obj) in seen:
             continue
         seen.add((pred, obj))
