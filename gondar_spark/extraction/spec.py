@@ -130,6 +130,39 @@ _RULES: dict[str, list[tuple[str, str, re.Pattern]]] = {
 _CALL_RE = re.compile(r"(?:=|:=)\s*(\w+)\(")
 _LIT_RE = re.compile(r'log\("([^"\n]+)"\)')
 
+# hot-loop dispatch: every anchored rule implies a literal line prefix, so
+# a startswith() check (C-speed) gates each regex attempt — filler lines
+# (comments/blanks, the majority) never touch the regex engine.
+_PREFIX: dict[tuple[str, str], str] = {
+    ("python", "defines_fn"): "def ",
+    ("python", "defines_type"): "class ",
+    ("python", "imports"): "import ",
+    ("python", "has_attr"): "OWNER",
+    ("java", "defines_fn"): "public static ",
+    ("java", "defines_type"): "class ",
+    ("java", "imports"): "import ",
+    ("java", "has_attr"): "static final ",
+    ("go", "defines_fn"): "func ",
+    ("go", "defines_type"): "type ",
+    ("go", "imports"): "import ",
+    ("go", "has_attr"): "const ",
+    ("js", "defines_fn"): "function ",
+    ("js", "defines_type"): "class ",
+    ("js", "imports"): "import ",
+    ("js", "has_attr"): "const ",
+    ("rust", "defines_fn"): "fn ",
+    ("rust", "defines_type"): "struct ",
+    ("rust", "imports"): "use ",
+    ("rust", "has_attr"): "const ",
+}
+_DISPATCH: dict[str, list[tuple[str, str, str, re.Pattern]]] = {
+    lang: [
+        (_PREFIX[(lang, pred)], pred, kind, pat)
+        for pred, kind, pat in rules
+    ]
+    for lang, rules in _RULES.items()
+}
+
 
 def extract_from_content(
     lang: str, content: str
@@ -140,25 +173,30 @@ def extract_from_content(
     ``obj`` is a character-for-character span of ``content`` with no
     newlines; empty spans are never emitted (PubMedFlow.py:168,170,173).
     """
-    rules = _RULES.get(lang, _RULES["python"])
+    rules = _DISPATCH.get(lang, _DISPATCH["python"])
     out: list[tuple[str, str, str, int]] = []
     for i, line in enumerate(content.split("\n")):
+        if not line:
+            continue
         matched = False
-        for pred, kind, pat in rules:
-            m = pat.match(line)
-            if m and m.group(1):
-                out.append((pred, m.group(1), kind, i))
-                matched = True
-                break
+        for prefix, pred, kind, pat in rules:
+            if line.startswith(prefix):
+                m = pat.match(line)
+                if m and m.group(1):
+                    out.append((pred, m.group(1), kind, i))
+                    matched = True
+                    break
         if matched:
             continue
-        m = _LIT_RE.search(line)
-        if m:
-            out.append(("mentions", m.group(1), "literal", i))
-            continue
-        m = _CALL_RE.search(line)
-        if m and m.group(1) != "log":
-            out.append(("calls", m.group(1), "symbol", i))
+        if '"' in line and "log(" in line:
+            m = _LIT_RE.search(line)
+            if m:
+                out.append(("mentions", m.group(1), "literal", i))
+                continue
+        if "(" in line and ("=" in line or ":=" in line):
+            m = _CALL_RE.search(line)
+            if m and m.group(1) != "log":
+                out.append(("calls", m.group(1), "symbol", i))
     return out
 
 

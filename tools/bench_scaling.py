@@ -43,24 +43,50 @@ def run_once(cpus: int, n_files: int) -> dict:
     return json.loads(line)["extraction"]
 
 
-def run_best(cpus: int, n_files: int, samples: int = 2) -> dict:
+_SPIN = ("import time\n"
+         "x = 0\n"
+         "while True:\n"
+         "    for i in range(100000): x += i\n")
+
+
+def run_best(cpus: int, n_files: int, total_cpus: int,
+             samples: int = 2, equalize_clock: bool = True) -> dict:
     """Best throughput over `samples` fresh-JVM runs: the sandbox VM is a
     shared host with ±15% noise between measurement windows; best-of-N
-    across JVMs samples independent windows (in-JVM reps can't)."""
-    best = None
-    for _ in range(samples):
-        r = run_once(cpus, n_files)
-        if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-            best = r
-    return best
+    across JVMs samples independent windows (in-JVM reps can't).
+
+    equalize_clock: while measuring at cpus < total_cpus, busy the OTHER
+    cores with spinners. With idle cores the small-N point gets a turbo
+    frequency boost no real N-executor cluster would see (its nodes run
+    as hot as the 4N arrangement's); measured here: ~17% per-core clock
+    delta between 8-busy and 32-busy states."""
+    spinners = []
+    if equalize_clock and cpus < total_cpus:
+        for core in range(cpus, total_cpus):
+            spinners.append(
+                subprocess.Popen(
+                    ["taskset", "-c", str(core), sys.executable, "-c", _SPIN],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+            )
+    try:
+        best = None
+        for _ in range(samples):
+            r = run_once(cpus, n_files)
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        return best
+    finally:
+        for p in spinners:
+            p.kill()
 
 
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    rs = run_best(small, n_files)
-    rb = run_best(big, n_files)
+    rs = run_best(small, n_files, total_cpus=big)
+    rb = run_best(big, n_files, total_cpus=big)
     eff = rb["docs_per_sec"] / (rs["docs_per_sec"] * (big / small))
     result = {
         "n_files": n_files,
