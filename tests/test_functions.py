@@ -92,6 +92,25 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert pairs[0]["jaccard"] == exact[0]["jaccard"]
 
 
+def test_prefix_filter_is_lossless(spark):
+    """AllPairs prefix filtering must not change the result set — exact
+    same pairs and scores as the brute inverted-index join."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta CHANGED",
+        "alpha beta gamma delta NOPE zeta eta theta",
+        "one two three four five six seven eight",
+        "one two three four five six seven CHANGED",
+    ]
+    df = _docs(spark, texts)
+    for t in (0.3, 0.5, 0.7):
+        fast = sorted(map(tuple, ngram_jaccard_pairs(
+            df, threshold=t, prefix_filter=True).collect()))
+        brute = sorted(map(tuple, ngram_jaccard_pairs(
+            df, threshold=t, prefix_filter=False).collect()))
+        assert fast == brute, (t, fast, brute)
+
+
 def test_simhash_hamming_near_dups(spark):
     # 100 tokens so one change flips few fingerprint bits (measured: 3 —
     # within the 4x16-band pigeonhole guarantee for hamming <= 3)
