@@ -446,7 +446,7 @@ def q_edit_similarity_nations(spark, sf_dir):
     )
 
 
-# --- rollup aggregation -------------------------------------------------------
+# --- rollup / cube aggregation -------------------------------------------------
 def q_rollup_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -455,6 +455,16 @@ def q_rollup_pricing(spark, sf_dir):
             F.count("*").cast("long").alias("n"),
             round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
+    )
+
+
+def q_cube_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_high", (F.col("value") > 50).cast("int")
+    )
+    return ev.cube("event_type", "is_high").agg(
+        F.count("*").cast("long").alias("n"),
+        round_half_up(F.sum("value"), 4).alias("sum_value"),
     )
 
 
@@ -683,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_counts": q_salted_user_counts,
         "edit_similarity_nations": q_edit_similarity_nations,
         "rollup_pricing": q_rollup_pricing,
+        "cube_events": q_cube_events,
         "sessionize_events": q_sessionize_events,
         "lang_source_matrix": q_lang_source_matrix,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -1079,6 +1090,14 @@ def oracle_sql() -> dict[str, str]:
                    (floor(sum(l_quantity) * 100.0 + 0.5) / 100.0) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_events": """
+            SELECT event_type,
+                   CAST(value > 50 AS INT) AS is_high,
+                   count(*)::BIGINT AS n,
+                   (floor(sum(value) * 10000.0 + 0.5) / 10000.0) AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, CAST(value > 50 AS INT))
         """,
         "sessionize_events": """
             WITH gapped AS (
