@@ -576,6 +576,55 @@ def q_latest_event_per_user(spark, sf_dir):
     )
 
 
+# --- UDAF surface: Arrow grouped-agg pandas UDF --------------------------------
+def q_weighted_value_udaf(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (the UDAF path): per-event-type mean
+    of `value` weighted by json-extracted k — Arrow-vectorized, exact
+    SQL mirror."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wmean(v, w):
+        return float((v * w).sum() / w.sum())
+
+    # real annotation objects: `from __future__ import annotations` above
+    # stringizes inline hints, which pandas_udf can't infer from
+    _wmean.__annotations__ = {"v": pd.Series, "w": pd.Series, "return": float}
+    wmean = pandas_udf(_wmean, "double")
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        round_half_up(wmean("value", "k"), 4).alias("weighted_value")
+    )
+
+
+# --- grouped-map surface: applyInPandas -----------------------------------------
+def q_zscore_grouped_map(spark, sf_dir):
+    """applyInPandas grouped map: per-lang z-score of n_chars (sample
+    stddev, matching SQL stddev_samp)."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        z = (pdf["n_chars"] - mu) / sd if sd and sd > 0 else pdf["n_chars"] * 0.0
+        import numpy as np
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z": np.floor(z * 10000.0 + 0.5) / 10000.0,
+            }
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        zscore, "doc_id long, lang string, z double"
+    )
+
+
 # --- exact percentile aggregation ---------------------------------------------
 def q_median_quantity(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -697,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "lang_source_matrix": q_lang_source_matrix,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "weighted_value_udaf": q_weighted_value_udaf,
+        "zscore_grouped_map": q_zscore_grouped_map,
         "median_quantity": q_median_quantity,
         "customers_without_orders": q_customers_without_orders,
         "docs_except_en": q_docs_except_en,
@@ -1145,6 +1196,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND (floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
                    / 1000000.0) >= 0.9999
+        """,
+        "weighted_value_udaf": """
+            SELECT event_type,
+                   (floor((sum(value * CAST(json_extract_string(props, '$.k')
+                                            AS DOUBLE))
+                           / sum(CAST(json_extract_string(props, '$.k')
+                                      AS DOUBLE))) * 10000.0 + 0.5) / 10000.0)
+                       AS weighted_value
+            FROM events GROUP BY event_type
+        """,
+        "zscore_grouped_map": """
+            WITH stats AS (
+                SELECT lang,
+                       avg(n_chars) AS mu,
+                       stddev_samp(n_chars) AS sd
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang,
+                   (floor(((d.n_chars - s.mu) / s.sd) * 10000.0 + 0.5)
+                    / 10000.0) AS z
+            FROM documents d JOIN stats s ON d.lang = s.lang
         """,
         "median_quantity": """
             SELECT l_returnflag,
