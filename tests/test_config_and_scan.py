@@ -1,0 +1,51 @@
+"""Config loading (A21), error rendering (A22), and scan pushdown (A1)."""
+
+import pytest
+
+from gondar_spark.config import JobConfig
+from gondar_spark.errors import ConfigError, StageError
+from gondar_spark.operators.source import scan_source
+from gondar_spark.plans.inspect import pushed_filters
+from gondar_spark.synth import SynthConfig, generate_source_df
+
+
+def test_config_from_env(monkeypatch):
+    monkeypatch.setenv("GONDAR_CHUNK_LINES", "32")
+    monkeypatch.setenv("GONDAR_LINK_THRESHOLD", "0.7")
+    monkeypatch.setenv("GONDAR_RUN_ID", "envrun")
+    cfg = JobConfig.from_env()
+    assert cfg.chunk_lines == 32
+    assert cfg.link_threshold == 0.7
+    assert cfg.run_id == "envrun"
+    # explicit override wins over env
+    assert JobConfig.from_env(chunk_lines=8).chunk_lines == 8
+
+
+def test_config_validation_bounds():
+    with pytest.raises(ConfigError):
+        JobConfig(extractor_max_retries=10)
+    with pytest.raises(ConfigError):
+        JobConfig(link_threshold=0.0)
+    with pytest.raises(ConfigError):
+        JobConfig(chunk_lines=0)
+
+
+def test_error_str_has_timestamp_and_type():
+    s = str(StageError("boom"))
+    assert "StageError" in s and "boom" in s and "20" in s
+
+
+def test_scan_source_filters_and_limit(spark, tmp_path):
+    src = generate_source_df(spark, SynthConfig(n_files=120), partitions=4)
+    path = str(tmp_path / "src")
+    src.write.partitionBy("lang").parquet(path)
+    table = spark.read.parquet(path)
+
+    scanned = scan_source(table, langs=["python"], limit=5)
+    rows = scanned.collect()
+    assert len(rows) == 5 and all(r["lang"] == "python" for r in rows)
+
+    # the lang predicate must prune partitions / reach the scan
+    pruned = scan_source(table, repos=["org0/repo"], langs=["python"])
+    plan_filters = pushed_filters(pruned)
+    assert any("repo" in f for f in plan_filters), plan_filters
