@@ -38,6 +38,10 @@ class JobConfig:
     minhash_hashes: int = 16              # signature length
     lsh_bands: int = 8                    # bands (rows per band = hashes // bands)
     link_threshold: float = 0.60          # Jaccard threshold for an edge
+    link_lang_aware: bool = False         # lang-tagged LSH blocks (north
+                                          # star option; default off: the
+                                          # golden alias clusters span
+                                          # languages by design)
     cc_max_iter: int = 20                 # fixpoint cap for connected components
     # --- scale / skew (SURVEY.md B10) ---
     shuffle_partitions: int = 32

@@ -68,8 +68,18 @@ def minhash_signature_df(
     return sig.join(grams, "norm")
 
 
-def band_keys_df(sig: DataFrame, n_hashes: int = 16, bands: int = 8) -> DataFrame:
-    """signature columns -> exploded (norm, band_key) block table."""
+def band_keys_df(sig: DataFrame, n_hashes: int = 16, bands: int = 8,
+                 lang_df: DataFrame | None = None) -> DataFrame:
+    """signature columns -> exploded (norm, band_key) block table.
+
+    ``lang_df`` (norm, lang pairs) enables lang-tagged blocking per the
+    north star (/root/repo/BASELINE.json:6 "MinHash/LSH blocking on
+    mention surface forms + language tags"): block keys become
+    band#lang, so non-identical surface forms pair only within a shared
+    language. Identical norms remain one node regardless (normalization
+    unifies exact cross-language forms before blocking), so lang tagging
+    narrows candidate generation without splitting exact matches.
+    """
     rows = n_hashes // bands
     keys = F.array(
         *[
@@ -84,7 +94,14 @@ def band_keys_df(sig: DataFrame, n_hashes: int = 16, bands: int = 8) -> DataFram
             for b in range(bands)
         ]
     )
-    return sig.select("norm", F.explode(keys).alias("band_key"))
+    blocks = sig.select("norm", F.explode(keys).alias("band_key"))
+    if lang_df is not None:
+        blocks = blocks.join(
+            lang_df.select("norm", "lang").distinct(), "norm"
+        ).select(
+            "norm", F.concat_ws("#", "band_key", "lang").alias("band_key")
+        )
+    return blocks
 
 
 def candidate_pairs(

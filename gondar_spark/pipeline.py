@@ -161,7 +161,9 @@ class Pipeline:
         def _edges():
             sig = blocking.minhash_signature_df(
                 mentions, cfg.minhash_hashes, cfg.extractor_seed, cfg.shingle_size)
-            blocks = blocking.band_keys_df(sig, cfg.minhash_hashes, cfg.lsh_bands)
+            blocks = blocking.band_keys_df(
+                sig, cfg.minhash_hashes, cfg.lsh_bands,
+                lang_df=mentions if cfg.link_lang_aware else None)
             pairs = blocking.candidate_pairs(blocks)
             from .operators.scoring import score_pairs
             return {"edges": score_pairs(pairs, sig, cfg.link_threshold)}

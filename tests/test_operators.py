@@ -176,6 +176,28 @@ def test_band_keys_match_python(spark):
     assert got == sorted(band_keys("parsetree", 16, 8, 1001))
 
 
+def test_lang_aware_blocking_pairs_within_shared_lang_only(spark):
+    """With lang tags, non-identical forms pair only via a shared lang."""
+    mentions = spark.createDataFrame(
+        [("ParseTree", "python", "parsetree"),
+         ("parse_tree_impl", "go", "parsetreeimpl")],
+        ["surface", "lang", "norm"],
+    )
+    sig = minhash_signature_df(mentions, 16, 1001)
+    untagged = candidate_pairs(band_keys_df(sig, 16, 8))
+    assert untagged.count() == 1  # similar forms collide in some band
+    tagged = candidate_pairs(band_keys_df(sig, 16, 8, lang_df=mentions))
+    assert tagged.count() == 0    # no shared language -> no candidate
+    # same two forms sharing a language -> candidate restored
+    mentions2 = mentions.union(
+        spark.createDataFrame([("parse_tree_impl", "python", "parsetreeimpl")],
+                              ["surface", "lang", "norm"]))
+    tagged2 = candidate_pairs(
+        band_keys_df(minhash_signature_df(mentions2, 16, 1001), 16, 8,
+                     lang_df=mentions2))
+    assert tagged2.count() == 1
+
+
 def test_candidates_and_scoring_find_cluster_pair(spark):
     df = spark.createDataFrame(
         [("parsetree",), ("parsetreeimpl",), ("zumgraph",)], ["norm"]
