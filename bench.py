@@ -106,6 +106,10 @@ def bench_extraction(spark, n_files: int) -> dict:
         "sec": round(dt, 3),
         "docs_per_sec": round(n_files / dt, 2),
         "cpus": parallelism,
+        # corpus density context: BENCH/BASELINE.md's scaling numbers use
+        # dense files (GONDAR_BENCH_FACTS=120,240), this default uses the
+        # sparse profile — docs/sec is not comparable across densities
+        "facts_per_file": f"{fmin}-{fmax}",
     }
 
 
@@ -155,7 +159,7 @@ def bench_cc(spark, n_edges: int = 100_000) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_files = int(os.environ.get("GONDAR_BENCH_FILES", "6000"))
+    n_files = int(os.environ.get("GONDAR_BENCH_FILES", "48000"))
     only_extraction = os.environ.get("GONDAR_BENCH_ONLY") == "extraction"
     spark = build_session(
         app_name="gondar_bench",
