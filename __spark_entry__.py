@@ -341,6 +341,15 @@ def q_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnowing_fps(spark, sf_dir):
+    from gondar_spark.functions.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        k=3, w=4,
+    )
+
+
 # --- relational coverage: aggregations / joins / windows --------------------------
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -734,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "winnowing_fps": q_winnowing_fps,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "nation_volume": q_nation_volume,
@@ -1065,6 +1075,29 @@ def oracle_sql() -> dict[str, str]:
                                        for i in range(1, len(toks) - 1)])
                    END AS fp_minshingle
             FROM base
+        """,
+        "winnowing_fps": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents WHERE doc_id < 200
+            ), kg AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3
+                            THEN [md5(array_to_string(w, ' '))]
+                            ELSE [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                  for i in range(1, len(w) - 1)]
+                       END AS kg
+                FROM toks
+            ), fps AS (
+                SELECT doc_id,
+                       CASE WHEN len(kg) < 4
+                            THEN [list_min(kg)]
+                            ELSE list_distinct([list_min(kg[j:j+3])
+                                                for j in range(1, len(kg) - 2)])
+                       END AS fps
+                FROM kg
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM fps
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

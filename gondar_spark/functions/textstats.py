@@ -108,6 +108,48 @@ def with_lang_scores(df: DataFrame, col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", expr)
 
 
+def winnowing_fingerprints(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id",
+    k: int = 3, w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the rolling-hash local fingerprinting scheme): hash every word
+    k-gram positionally, slide a window of w hashes, keep each window's
+    minimum, emit the distinct minima as (id, fp) rows. Guarantees any
+    shared run of >= w+k-1 words yields a shared fingerprint.
+
+    Pure column ops (md5-based, so the DuckDB oracle matches exactly);
+    token array materialized once (HOF-CSE rule).
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens_col(col).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    kgrams = F.when(
+        n < k, F.array(F.md5(F.concat_ws(" ", toks).cast("binary")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i + 1, k)).cast("binary")
+            ),
+        )
+    )
+    staged = base.select("id", kgrams.alias("_kg"))
+    kg = F.col("_kg")
+    m = F.size(kg)
+    fps = F.when(m < w, F.array(F.array_min(kg))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), m - w),
+                lambda j: F.array_min(F.slice(kg, j + 1, w)),
+            )
+        )
+    )
+    return staged.select(
+        F.col("id").alias(id_col), F.explode(fps).alias("fp")
+    )
+
+
 def with_fingerprints(df: DataFrame, col: str = "text") -> DataFrame:
     """Document fingerprints:
       * fp_exact   — md5 of whitespace-normalized lowercase text,

@@ -63,6 +63,23 @@ def test_lang_scores_argmax_tiebreak(spark):
     assert rows[2]["lang_pred"] == "en"  # all-zero tie -> first lang
 
 
+def test_winnowing_shared_run_guarantee(spark):
+    """Docs sharing a run of >= w+k-1 words share >= 1 fingerprint; a
+    fully distinct doc shares none."""
+    from gondar_spark.functions.textstats import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w+k-1
+    df = _docs(spark, [f"{shared} one two three",
+                       f"nine eight {shared}",
+                       "p q r s t u v w x y"])
+    fps = winnowing_fingerprints(df, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+
+
 def test_fingerprints_near_dup_invariance(spark):
     # same word stream with different whitespace -> same fp_exact
     df = _docs(spark, ["a b c d e", " a  b c d e ", "a b c d x"])
