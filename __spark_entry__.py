@@ -15,6 +15,7 @@ code) intentionally omit oracles -> driver records rows-only checks.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -409,9 +410,9 @@ def q_events_topk_users(spark, sf_dir):
     per_user = ev.groupBy("event_type", "user_id").agg(
         round_half_up(F.sum("value"), 4).alias("total_value")
     )
-    return top_k_per_group(per_user, "event_type", "total_value", 5).select(
-        "event_type", "user_id", "total_value", "rank"
-    )
+    return top_k_per_group(
+        per_user, "event_type", "total_value", 5, tiebreak="user_id"
+    ).select("event_type", "user_id", "total_value", "rank")
 
 
 def q_events_hourly(spark, sf_dir):
@@ -666,12 +667,23 @@ def q_docs_except_en(spark, sf_dir):
     return docs.exceptAll(en)
 
 
-# --- KG pipeline on synthetic code (non-SQL: rows-only smoke) ---------------------
-def _mini_kg_triples(spark, n_files=80):
-    from gondar_spark.operators import chunk, extract
-    from gondar_spark.synth import SynthConfig, generate_source_df
+# --- KG pipeline on synthetic code, oracle-checked end-to-end ---------------------
+# The source is a COMMITTED deterministic fixture parquet (made by
+# tools/make_kg_fixture.py) read by both engines: Spark runs the real
+# operators (mapInPandas extraction, LSH blocking, iterative CC) and the
+# DuckDB oracle re-derives the same result independently (regex rules in
+# SQL; connected components via a recursive CTE) — so the pipeline's
+# hardest stages are verified against a second engine, not just pytest.
+_KG_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures",
+    "kg_source.parquet",
+)
 
-    src = generate_source_df(spark, SynthConfig(n_files=n_files), partitions=8)
+
+def _mini_kg_triples(spark):
+    from gondar_spark.operators import chunk, extract
+
+    src = spark.read.parquet(_KG_FIXTURE)
     raw = extract.extract_triples(
         chunk.prepare_extraction_units(src, 64), chunk_lines=64,
         emit_metrics=False,
@@ -681,14 +693,13 @@ def _mini_kg_triples(spark, n_files=80):
 
 
 def q_kg_triples(spark, sf_dir):
-    return _mini_kg_triples(spark).groupBy("pred", "kind").agg(
-        F.count("*").cast("long").alias("n")
-    )
+    """Full extraction output over the fixture — every column checked."""
+    return _mini_kg_triples(spark)
 
 
 def q_kg_edges(spark, sf_dir):
-    """Linking stages B5-B8 end-to-end (rows-only: md5 chain IS oracled
-    separately via minhash_signatures/minhash_lsh_pairs)."""
+    """Linking stages B5-B8 end-to-end (normalize -> minhash -> LSH bands
+    -> candidate pairs -> jaccard scoring)."""
     from gondar_spark.operators import blocking, normalize
     from gondar_spark.operators.scoring import score_pairs
 
@@ -703,7 +714,8 @@ def q_kg_edges(spark, sf_dir):
 
 
 def q_kg_entities(spark, sf_dir):
-    """Canonicalization B9/B11 end-to-end (rows-only: iterative CC)."""
+    """Canonicalization B9/B11 end-to-end (iterative large-star/small-star
+    CC, oracled by a DuckDB recursive-CTE min-label closure)."""
     from gondar_spark.operators import blocking, cc, materialize, normalize
     from gondar_spark.operators.scoring import score_pairs
 
@@ -849,6 +861,149 @@ WITH toks AS (
 )
 SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 """
+
+
+# --- KG oracle SQL: extraction rules + linking chain + recursive-CTE CC,
+#     re-derived in DuckDB over the committed fixture parquet -------------
+
+def _kg_prefix_sql(recursive: bool = False) -> str:
+    """CTE prefix: fixture scan -> lines -> extracted triples. The rule
+    CASE chain is GENERATED from extraction.spec._RULES so the SQL mirror
+    cannot drift from the Python extractor; rule priority (anchored rules
+    first, then the literal-mention rule, then the call rule) is encoded
+    as coalesce() in the same order extract_from_content tries them."""
+    from gondar_spark.extraction.spec import _RULES
+
+    def lit(pat) -> str:
+        return pat.pattern.replace("'", "''")
+
+    lang_cases = []
+    for lang, rules in _RULES.items():
+        whens = " ".join(
+            f"WHEN regexp_extract(line, '{lit(pat)}', 1) <> '' THEN "
+            f"{{'pred': '{pred}', 'kind': '{kind}', "
+            f"'obj': regexp_extract(line, '{lit(pat)}', 1)}}"
+            for pred, kind, pat in rules
+        )
+        lang_cases.append(
+            f"WHEN lang = '{lang}' THEN CASE {whens} ELSE NULL END"
+        )
+    anchored = "CASE " + " ".join(lang_cases) + " ELSE NULL END"
+    lit_re = r'log\("([^"]+)"\)'
+    call_re = r"(?:=|:=)\s*(\w+)\("
+    lit_case = (
+        f"CASE WHEN regexp_extract(line, '{lit_re}', 1) <> '' THEN "
+        f"{{'pred': 'mentions', 'kind': 'literal', "
+        f"'obj': regexp_extract(line, '{lit_re}', 1)}} ELSE NULL END"
+    )
+    call_case = (
+        f"CASE WHEN regexp_extract(line, '{call_re}', 1) NOT IN ('', 'log') "
+        f"THEN {{'pred': 'calls', 'kind': 'symbol', "
+        f"'obj': regexp_extract(line, '{call_re}', 1)}} ELSE NULL END"
+    )
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"""
+{kw} src AS (
+    SELECT repo, path, commit, lang, content
+    FROM read_parquet('{_KG_FIXTURE}')
+), lns AS (
+    SELECT repo, path, commit, lang, CAST(i - 1 AS INT) AS ln, ls[i] AS line
+    FROM (SELECT repo, path, commit, lang,
+                 string_split(content, chr(10)) AS ls FROM src),
+         UNNEST(range(1, len(ls) + 1)) AS u(i)
+), facts AS (
+    SELECT repo, path, commit, lang, ln,
+           coalesce({anchored}, {lit_case}, {call_case}) AS f
+    FROM lns
+), triples AS (
+    SELECT repo || ':' || path AS subj, f.pred AS pred, f.obj AS obj,
+           f.kind AS kind, repo, path, commit, lang,
+           CAST(ln // 64 AS INT) AS chunk_id
+    FROM facts WHERE f IS NOT NULL
+)"""
+
+
+def _kg_linking_cte() -> str:
+    """mentions -> char-3-gram sets -> md5 minhash -> LSH bands ->
+    candidate pairs -> exact jaccard (unrounded, in `jr`)."""
+    hcols = ",\n           ".join(
+        f"list_min(list_transform(grams, g -> md5('{SEED}:{k}:' || g))) AS h{k}"
+        for k in range(16)
+    )
+    band_exprs = ", ".join(
+        f"('{b}:' || md5(h{2 * b} || '|' || h{2 * b + 1}))" for b in range(8)
+    )
+    return f""", mentions AS (
+    SELECT DISTINCT obj AS surface, lang,
+           regexp_replace(lower(obj), '[^a-z0-9]+', '', 'g') AS norm
+    FROM triples
+    WHERE kind IN ('symbol', 'literal')
+      AND length(regexp_replace(lower(obj), '[^a-z0-9]+', '', 'g')) > 0
+), grams AS (
+    SELECT norm,
+           CASE WHEN length(norm) < 3 THEN [norm]
+                ELSE list_distinct([norm[i:i+2]
+                                    for i in range(1, length(norm) - 1)])
+           END AS grams
+    FROM (SELECT DISTINCT norm FROM mentions)
+), sig AS (
+    SELECT norm, grams,
+           {hcols}
+    FROM grams
+), blocks AS (
+    SELECT norm, unnest([{band_exprs}]) AS band_key FROM sig
+), cand AS (
+    SELECT DISTINCT a.norm AS norm_a, b.norm AS norm_b
+    FROM blocks a JOIN blocks b USING (band_key)
+    WHERE a.norm < b.norm
+), scored AS (
+    SELECT norm_a, norm_b,
+           len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+           (len(ga.grams) + len(gb.grams)
+            - len(list_intersect(ga.grams, gb.grams))) AS jr
+    FROM cand
+    JOIN grams ga ON ga.norm = norm_a
+    JOIN grams gb ON gb.norm = norm_b
+)"""
+
+
+def _kg_triples_sql() -> str:
+    return _kg_prefix_sql() + """
+SELECT subj, pred, obj, kind, repo, path, commit, lang, chunk_id
+FROM triples"""
+
+
+def _kg_edges_sql() -> str:
+    return _kg_prefix_sql() + _kg_linking_cte() + """
+SELECT norm_a, norm_b,
+       (floor(jr * 10000.0 + 0.5) / 10000.0) AS jaccard
+FROM scored WHERE jr >= 0.6"""
+
+
+def _kg_entities_sql() -> str:
+    """Connected components as a recursive min-label closure: reach(a, b)
+    = b reachable from a over threshold edges; component id = min(b) —
+    exactly the min-member label the iterative large-star/small-star
+    algorithm (operators/cc.py) converges to."""
+    return _kg_prefix_sql(recursive=True) + _kg_linking_cte() + """
+, edges AS (
+    SELECT norm_a, norm_b FROM scored WHERE jr >= 0.6
+), sym AS (
+    SELECT norm_a AS s, norm_b AS d FROM edges
+    UNION
+    SELECT norm_b, norm_a FROM edges
+), reach(a, b) AS (
+    SELECT norm, norm FROM (SELECT DISTINCT norm FROM mentions)
+    UNION
+    SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s
+), comp AS (
+    SELECT a AS norm, min(b) AS entity_id FROM reach GROUP BY a
+)
+SELECT c.entity_id,
+       min(m.norm) AS canonical_form,
+       count(DISTINCT m.surface)::BIGINT AS n_aliases
+FROM mentions m JOIN comp c USING (norm)
+GROUP BY c.entity_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1137,7 +1292,7 @@ def oracle_sql() -> dict[str, str]:
             ), ranked AS (
                 SELECT event_type, user_id, total_value,
                        row_number() OVER (PARTITION BY event_type
-                                          ORDER BY total_value DESC) AS rank
+                                          ORDER BY total_value DESC, user_id ASC) AS rank
                 FROM per_user
             )
             SELECT event_type, user_id, total_value, CAST(rank AS INT) AS rank
@@ -1298,7 +1453,8 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
             FROM ranked WHERE rn = 1
         """,
-        # simhash_pairs, ivf_topk, kg_triples: non-SQL-expressible
-        # (xxhash64 bit ops / approximate ANN / mapInPandas extractor)
-        # -> rows-only checks by design.
+        "kg_triples": _kg_triples_sql(),
+        "kg_edges": _kg_edges_sql(),
+        "kg_entities": _kg_entities_sql(),
+        # simhash_pairs, ivf_topk: covered below / rows-only by design.
     }

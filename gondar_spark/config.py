@@ -72,10 +72,15 @@ class JobConfig:
         for name, f in fields.items():
             env = os.environ.get(f"GONDAR_{name.upper()}")
             if env is not None:
-                typ = f.type if callable(f.type) else type(f.default)
-                caster = {int: int, float: float, str: str}.get(
-                    type(f.default), str
-                )
-                kwargs[name] = caster(env)
+                # bool first: bool subclasses int, and {int: int}[bool] would
+                # otherwise parse "false" with int() (ValueError) or store a
+                # truthy string if str-cast.
+                if type(f.default) is bool:
+                    kwargs[name] = env.strip().lower() in ("1", "true", "yes", "on")
+                else:
+                    caster = {int: int, float: float, str: str}.get(
+                        type(f.default), str
+                    )
+                    kwargs[name] = caster(env)
         kwargs.update(overrides)
         return cls(**kwargs)

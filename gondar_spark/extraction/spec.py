@@ -200,6 +200,16 @@ def extract_from_content(
     return out
 
 
+def poison_extractor(lang: str, content: str) -> list[tuple[str, str, str, int]]:
+    """Fault-injection extractor: raises on any unit containing 'POISON',
+    otherwise delegates to the spec extractor. Lives in the package (not
+    the tests) so Spark workers can unpickle it by reference — used to
+    exercise the retry/quarantine path (A15) with a *real* failure."""
+    if "POISON" in content:
+        raise ValueError("poisoned unit")
+    return extract_from_content(lang, content)
+
+
 # --------------------------------------------------------------------------
 # similarity primitives (linking stages B5-B8)
 # --------------------------------------------------------------------------

@@ -145,23 +145,34 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    prefix_filter: bool = False,
+    prefix_filter: bool = True,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard threshold join (the verifier path and recall
     oracle for minhash_lsh_pairs).
 
-    ``prefix_filter`` enables the AllPairs/PPJoin prefix filter (Bayardo
-    et al. WWW'07; Xiao et al. WWW'08): order shingles globally by
-    ascending document frequency; a pair with jaccard >= t shares at
-    least ceil(t*|x|) shingles of EACH side (o(1+t) >= t(|x|+|y|) and
-    |y| >= o imply o >= t*|x|), so both sides must collide within their
-    first |x| - ceil(t*|x|) + 1 rarest shingles, and the inverted-index
-    join runs on those prefixes only. Lossless by theorem (tested equal
-    to the unfiltered join). Enable it on realistic corpora whose
-    shingle document frequencies are skewed (rare shingles -> short
-    postings); the synthetic benchmark vocabulary is uniformly hot, so
-    the filter's extra df-ranking shuffles don't pay for themselves
-    there — measured, not assumed.
+    ``prefix_filter`` (DEFAULT — the scale-safe path) enables the
+    AllPairs/PPJoin prefix filter (Bayardo et al. WWW'07; Xiao et al.
+    WWW'08): order shingles globally by ascending document frequency; a
+    pair with jaccard >= t shares at least ceil(t*|x|) shingles of EACH
+    side (o(1+t) >= t(|x|+|y|) and |y| >= o imply o >= t*|x|), so both
+    sides must collide within their first |x| - ceil(t*|x|) + 1 rarest
+    shingles, and the inverted-index join runs on those prefixes only.
+    Lossless by theorem (tested equal to the unfiltered join), and it
+    bounds the quadratic term: a shingle shared by s documents emits s^2/2
+    join rows in the raw index join, which at 10^12 files is a job-killer
+    unless postings are short. Disable ONLY on corpora measured to have
+    uniformly-hot vocabularies (the synthetic bench corpus is one — the
+    df-ranking shuffles don't pay for themselves there).
+
+    ``prefix_filter=False`` without ``max_posting`` is the raw
+    inverted-index join (exact, quadratic in the hottest posting list).
+    ``max_posting=K`` guards that path: shingles whose posting list
+    exceeds K are excluded from CANDIDATE GENERATION (logged, never
+    silent) and surviving candidates are verified on their full shingle
+    sets — still exact for every pair sharing >= 1 sub-hot shingle; only
+    pairs whose ENTIRE overlap is hot shingles are missed (documented
+    approximation, mirrors blocking.candidate_pairs' max_block_size).
     """
     base = shingled(df, col, id_col, shingle_n)
     sizes = base.select("id", F.size("sh").alias("sz"))
@@ -207,8 +218,48 @@ def ngram_jaccard_pairs(
             "id_a", "id_b", "jaccard"
         )
 
+    if max_posting is not None:
+        # capped candidate generation: drop mega-postings from the index,
+        # then verify candidates on FULL shingle sets (exact jaccard)
+        import logging
+
+        dfreq = inv.groupBy("s").agg(F.count("*").alias("dfreq"))
+        hot = dfreq.filter(F.col("dfreq") > max_posting)
+        n_hot = hot.count()  # tiny agg-of-agg; the cap must not be silent
+        if n_hot:
+            logging.getLogger("gondar_spark.dedup").warning(
+                "ngram_jaccard_pairs: max_posting=%d dropped %d hot "
+                "shingle(s) from candidate generation", max_posting, n_hot)
+        capped = inv.join(hot.select("s"), "s", "left_anti")
+        a = capped.withColumnsRenamed({"id": "id_a"})
+        b = capped.withColumnsRenamed({"id": "id_b"})
+        pairs = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        verified = (
+            pairs.join(
+                base.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+            .join(base.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                round_half_up(
+                    F.col("inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                    4,
+                ),
+            )
+        )
+        return verified.filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
+
     # unfiltered: overlap counts straight off the inverted index — no
-    # array payloads cross the shuffle
+    # array payloads cross the shuffle. Exact but quadratic in the hottest
+    # posting list; reserve for corpora with measured-flat shingle dfs.
     a = inv.withColumnsRenamed({"id": "id_a"})
     b = inv.withColumnsRenamed({"id": "id_b"})
     inter = (

@@ -122,10 +122,13 @@ def extract_triples(units: DataFrame, max_retries: int = 2,
             cols = _extract_micro_batch(pdf, chunk_lines, max_retries,
                                         extractor)
             if emit_metrics:
+                # count BEFORE appending the metric row itself, and exclude
+                # quarantine (__error__) rows — triples only.
+                n_triples = sum(1 for k in cols["kind"] if k != "error")
                 cols["subj"].append("__batch__")
                 cols["pred"].append("__metric__")
                 cols["obj"].append(
-                    f"units_in={len(pdf)};triples_out={len(cols['pred'])}")
+                    f"units_in={len(pdf)};triples_out={n_triples}")
                 cols["kind"].append("metric")
                 for c in ("repo", "path", "commit", "lang"):
                     cols[c].append("")

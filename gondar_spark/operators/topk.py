@@ -12,17 +12,29 @@ from pyspark.sql import functions as F
 
 
 def top_k_by_count(df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    """Global top-k keys by frequency.
+
+    orderBy + limit — Spark plans this as TakeOrderedAndProject (per-partition
+    heap of k rows, then a k-row merge on the driver), so no key funnels
+    through a single-partition window Exchange. The (cnt desc, key asc)
+    ordering makes ties deterministic.
+    """
     counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc(key))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return counts.orderBy(F.desc("cnt"), F.asc(key)).limit(k)
 
 
-def top_k_per_group(df: DataFrame, group: str, order: str, k: int) -> DataFrame:
-    """row_number window per group — the scalable per-group top-k."""
-    w = Window.partitionBy(group).orderBy(F.desc(order))
+def top_k_per_group(
+    df: DataFrame, group: str, order: str, k: int, tiebreak: str | None = None
+) -> DataFrame:
+    """row_number window per group — the scalable per-group top-k.
+
+    `tiebreak` (ascending) makes ranks at the k boundary deterministic when
+    `order` values collide; defaults to the group key itself, which is only a
+    real tie-break when rows within a group are otherwise unique on `order`.
+    Pass an id-like column for full determinism.
+    """
+    order_cols = [F.desc(order), F.asc(tiebreak if tiebreak else group)]
+    w = Window.partitionBy(group).orderBy(*order_cols)
     return (
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

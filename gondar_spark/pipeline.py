@@ -32,10 +32,14 @@ STAGES = ("source", "triples_raw", "mentions", "edges", "labels", "materialize")
 
 class Pipeline:
     def __init__(self, spark: SparkSession, cfg: JobConfig,
-                 io: TableIO | None = None) -> None:
+                 io: TableIO | None = None, extractor=None) -> None:
+        """``extractor`` plugs an alternative (lang, text) -> facts backend
+        into the extraction stage (e.g. extraction.llm.llm_extractor); the
+        default is the deterministic spec extractor."""
         self.spark = spark
         self.cfg = cfg
         self.io = io or TableIO(spark, cfg.warehouse)
+        self.extractor = extractor
         self._lineage_path = os.path.join(cfg.warehouse, "_lineage")
 
     # ---- lineage ----------------------------------------------------------
@@ -105,8 +109,9 @@ class Pipeline:
                                      "left_anti")
             units = chunk.prepare_extraction_units(
                 todo, cfg.chunk_lines, pass_through_chars=cfg.max_chunk_chars)
+            kw = {} if self.extractor is None else {"extractor": self.extractor}
             raw = extract.extract_triples(units, cfg.extractor_max_retries,
-                                          cfg.chunk_lines)
+                                          cfg.chunk_lines, **kw)
             return extract.split_extraction(raw)
 
         if incremental and self.io.exists("triples_raw") and not force:
@@ -122,18 +127,30 @@ class Pipeline:
             new_triples = new_triples.localCheckpoint(eager=True)
             new_quarantine = new_quarantine.localCheckpoint(eager=True)
             n_new = new_triples.count()
-            if n_new > 0:
-                merged = old.unionByName(new_triples)
+            n_quar = new_quarantine.count()
+            if n_new > 0 or n_quar > 0:
+                # persist quarantine even when no triples were added (A15:
+                # never silently drop), and dedupe on the file key so files
+                # re-extracted by later incremental runs don't stack
+                # duplicate quarantine rows.
+                import pyspark.sql.window as _W
+                quar_all = self.io.read("quarantine").unionByName(new_quarantine)
+                qw = _W.Window.partitionBy("repo", "path", "commit").orderBy(
+                    F.asc("obj"))
+                quar_dedup = (
+                    quar_all.withColumn("_rn", F.row_number().over(qw))
+                    .filter(F.col("_rn") == 1).drop("_rn")
+                )
+                merged = old.unionByName(new_triples) if n_new > 0 else old
                 self._run_stage(
                     "triples_raw",
-                    {"triples_raw": merged,
-                     "quarantine": self.io.read("quarantine").unionByName(
-                         new_quarantine)},
+                    {"triples_raw": merged, "quarantine": quar_dedup},
                     force=True,
                 )
-                self._log("triples_raw_incremental", new_rows=n_new)
+                self._log("triples_raw_incremental", new_rows=n_new,
+                          new_quarantine=n_quar)
                 executed["triples_raw"] = True
-                force_downstream = True
+                force_downstream = n_new > 0
             else:
                 self._log("triples_raw_incremental", new_rows=0, skipped=True)
                 executed["triples_raw"] = False

@@ -39,6 +39,22 @@ class TableIO:
         self.use_iceberg = use_iceberg
         if not use_iceberg:
             os.makedirs(warehouse, exist_ok=True)
+            self._recover()
+
+    def _recover(self) -> None:
+        """Finish interrupted swaps: for each `<name>.old-<id>` aside dir,
+        restore it if the new snapshot never committed (no manifest at the
+        final path), else delete it (crash happened after the swap)."""
+        for entry in os.listdir(self.warehouse):
+            if ".old-" not in entry:
+                continue
+            aside = os.path.join(self.warehouse, entry)
+            final = os.path.join(self.warehouse, entry.split(".old-")[0])
+            if not os.path.exists(os.path.join(final, _COMMIT)):
+                shutil.rmtree(final, ignore_errors=True)  # half-swapped tmp
+                os.rename(aside, final)
+            else:
+                shutil.rmtree(aside, ignore_errors=True)
 
     # ---- paths -----------------------------------------------------------
     def _path(self, name: str) -> str:
@@ -77,9 +93,19 @@ class TableIO:
             }
             with open(os.path.join(tmp, _COMMIT), "w") as f:
                 json.dump(commit, f)
+            # crash-safe swap: move the old snapshot ASIDE (rename, atomic)
+            # rather than rmtree-then-rename — a crash between those two
+            # steps would leave NO committed snapshot. With the aside, every
+            # instant has either the old or the new snapshot committed;
+            # recovery (_recover, run at init) restores the aside if the
+            # swap never happened and deletes it if it did.
+            aside = None
             if os.path.exists(final):
-                shutil.rmtree(final)
+                aside = final + ".old-" + uuid.uuid4().hex[:8]
+                os.rename(final, aside)
             os.rename(tmp, final)
+            if aside is not None:
+                shutil.rmtree(aside, ignore_errors=True)
             # drop Spark's cached file listing for the swapped path —
             # otherwise later reads resolve to the pre-swap part files
             self.spark.catalog.refreshByPath(final)

@@ -128,6 +128,65 @@ def test_prefix_filter_is_lossless(spark):
         assert fast == brute, (t, fast, brute)
 
 
+def test_skewed_hot_shingle_candidate_explosion(spark):
+    """Zipf-style skew fixture: every doc shares one mega-hot trigram. The
+    raw inverted-index join goes quadratic on the hot posting (s^2/2
+    candidates); the prefix filter keeps candidates near-linear because
+    the hot shingle falls OUTSIDE most docs' rarest-first prefix. The cap
+    path (max_posting) drops the hot posting outright."""
+    n = 60
+    # "HOT HOT HOT" trigram in every doc + a unique tail per doc; one
+    # planted near-dup pair (docs 0 and 1 share their tails too)
+    texts = [f"HOT HOT HOT u{i}a u{i}b u{i}c u{i}d u{i}e" for i in range(n)]
+    texts[1] = texts[0].replace("u0e", "CHANGED")
+    df = _docs(spark, texts)
+
+    def n_candidates(prefix: bool, cap=None):
+        from gondar_spark.operators.dedup import shingled
+        from pyspark.sql import functions as F
+
+        base = shingled(df, "text", "doc_id", 3)
+        inv = base.select("id", F.explode("sh").alias("s"))
+        if cap is not None:
+            dfreq = inv.groupBy("s").agg(F.count("*").alias("d"))
+            inv = inv.join(
+                dfreq.filter(F.col("d") > cap).select("s"), "s", "left_anti")
+        if prefix:
+            from pyspark.sql import Window
+
+            dfreq = inv.groupBy("s").agg(F.count("*").alias("dfreq"))
+            sizes = base.select("id", F.size("sh").alias("sz"))
+            w = Window.partitionBy("id").orderBy("dfreq", "s")
+            ranked = (
+                inv.join(dfreq, "s")
+                .withColumn("rn", F.row_number().over(w))
+                .join(sizes, "id")
+            )
+            plen = F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + 1
+            inv = ranked.filter(F.col("rn") <= plen).select("id", "s")
+        a = inv.withColumnsRenamed({"id": "id_a"})
+        b = inv.withColumnsRenamed({"id": "id_b"})
+        return (
+            a.join(b, "s").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct().count()
+        )
+
+    brute = n_candidates(prefix=False)
+    filtered = n_candidates(prefix=True)
+    capped = n_candidates(prefix=False, cap=10)
+    assert brute == n * (n - 1) // 2          # full quadratic blow-up
+    assert filtered < brute / 10              # prefix kills the hot posting
+    assert capped < brute / 10                # cap kills it too
+
+    # ...and all three API paths agree on the actual result pairs
+    expect = [(0, 1)]
+    for kwargs in ({"prefix_filter": True}, {"prefix_filter": False},
+                   {"prefix_filter": False, "max_posting": 10}):
+        got = [(r["id_a"], r["id_b"]) for r in
+               ngram_jaccard_pairs(df, threshold=0.5, **kwargs).collect()]
+        assert got == expect, (kwargs, got)
+
+
 def test_simhash_hamming_near_dups(spark):
     # 100 tokens so one change flips few fingerprint bits (measured: 3 —
     # within the 4x16-band pigeonhole guarantee for hamming <= 3)
