@@ -257,9 +257,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-# --- dedup: simhash (xxhash64 — no SQL oracle) --------------------------------
+# --- dedup: simhash (md5_60 engine-portable variant -> exact oracle; the
+#     xxhash64 production path shares every line but the token hash and is
+#     pytest-covered in tests/test_functions.py) --------------------------------
 def q_simhash_pairs(spark, sf_dir):
-    return simhash_dedup(_docs_with_planted_dups(spark, sf_dir), max_hamming=3)
+    return simhash_dedup(
+        _docs_with_planted_dups(spark, sf_dir), max_hamming=3, hash_fn="md5_60"
+    )
 
 
 # --- similarity: brute-force cosine top-k -------------------------------------
@@ -290,11 +294,15 @@ def q_knn_per_probe(spark, sf_dir):
     )
 
 
-# --- similarity: IVF ANN (approximate — rows-only check) -----------------------
+# --- similarity: IVF ANN (deterministic sampled centroids, exact oracle) -------
 def _centroids(spark, sf_dir, n=8):
+    """Deterministic pseudo-random centroid sample: order by md5(vec_id)
+    — engine-portable (DuckDB computes the identical sample), unbiased
+    w.r.t. insertion order (unlike first-n-by-id), tiny driver collect.
+    At 100 TB the same pattern runs over a .sample() of the table."""
     rows = (
         _t(spark, sf_dir, "embeddings")
-        .orderBy("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(n)
         .select("embedding")
         .collect()
@@ -307,6 +315,46 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(
         emb, _query_vec(spark, sf_dir), _centroids(spark, sf_dir), k=10, n_probe=2
     )
+
+
+# --- similarity: IVF recall@10 vs exact top-k -----------------------------------
+# Measured on a corpus with a PLANTED neighborhood around the query vector
+# (mix 0.85*q + 0.15*v) — the workload ANN serves. On uniform-random
+# vectors (no cluster structure) the same 8-cell/2-probe setup measures
+# recall 0.5 — the known IVF worst case, documented not hidden.
+def q_ivf_recall(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    q_arr = F.array(*[F.lit(float(x)) for x in qv])
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = (
+        emb.filter((F.col("vec_id") % 37 == 1) & (F.col("vec_id") != _QUERY_VEC_ID))
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.zip_with(
+                q_arr, F.col("embedding"), lambda x, y: x * 0.85 + y * 0.15
+            ).alias("embedding"),
+        )
+    )
+    corpus = emb.unionByName(planted).filter(F.col("vec_id") != _QUERY_VEC_ID)
+    cents = _centroids(spark, sf_dir)
+    ivf = similarity.ivf_topk(corpus, qv, cents, k=10, n_probe=2)
+    exact = similarity.cosine_topk(corpus, qv, k=10)
+    return (
+        ivf.select("vec_id").join(exact.select("vec_id"), "vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_overlap"),
+            (F.count("*") / 10.0).alias("recall_at_10"),
+        )
+    )
+
+
+# --- B14 diagnostic: global hot-key top-k (TakeOrderedAndProject) ---------------
+def q_topk_hot_entities(spark, sf_dir):
+    from gondar_spark.operators.topk import top_k_by_count
+
+    return top_k_by_count(_t(spark, sf_dir, "events"), "user_id", k=10)
 
 
 # --- text analysis ---------------------------------------------------------------
@@ -751,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "knn_per_probe": q_knn_per_probe,
         "ivf_topk": q_ivf_topk,
+        "ivf_recall": q_ivf_recall,
+        "topk_hot_entities": q_topk_hot_entities,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1004,6 +1054,119 @@ SELECT c.entity_id,
        count(DISTINCT m.surface)::BIGINT AS n_aliases
 FROM mentions m JOIN comp c USING (norm)
 GROUP BY c.entity_id"""
+
+
+# --- IVF oracle SQL: the full ANN pipeline (sampled centroids -> cell
+#     assignment -> probe selection -> pruned top-k) is deterministic and
+#     therefore exactly reproducible in DuckDB ----------------------------
+
+def _r6(expr: str) -> str:
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
+def _ivf_cte(corpus_sql: str, n_cents: int = 8, n_probe: int = 2) -> str:
+    """CTE chain shared by ivf_topk / ivf_recall. ``corpus_sql`` must
+    yield (vec_id, v DOUBLE[])."""
+    cos_vc = _r6("list_cosine_similarity(v.v, c.c)")
+    cos_cq = _r6("list_cosine_similarity(c.c, (SELECT q FROM qv))")
+    cos_vq = _r6("list_cosine_similarity(v, (SELECT q FROM qv))")
+    return f"""
+WITH qv AS (
+    SELECT embedding::DOUBLE[] AS q FROM embeddings
+    WHERE vec_id = {_QUERY_VEC_ID}
+), cents AS (
+    SELECT cell, c FROM (
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                   AS cell,
+               embedding::DOUBLE[] AS c
+        FROM embeddings) WHERE cell < {n_cents}
+), corpus AS (
+{corpus_sql}
+), assign AS (
+    SELECT v.vec_id, v.v, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {cos_vc} DESC, c.cell ASC) AS rn
+    FROM corpus v CROSS JOIN cents c
+), celled AS (
+    SELECT vec_id, v, cell FROM assign WHERE rn = 1
+), probe AS (
+    SELECT cell FROM (
+        SELECT c.cell,
+               row_number() OVER (ORDER BY {cos_cq} DESC, c.cell ASC) AS rn
+        FROM cents c) WHERE rn <= {n_probe}
+), ivf AS (
+    SELECT vec_id, {cos_vq} AS cosine
+    FROM celled WHERE cell IN (SELECT cell FROM probe)
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+)"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """60-bit md5-prefix SimHash, bit-for-bit identical to
+    simhash_dedup(hash_fn='md5_60'): token hash =
+    ('0x' || substr(md5(t),1,15))::BIGINT, sign-vote per bit, 4x15-bit
+    pigeonhole bands, hamming via bit_count(xor)."""
+    sim_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(60)
+    )
+    band_structs = ", ".join(
+        f"{{'band_idx': {i}, 'band_val': (simhash >> {i * 15}) & 32767}}"
+        for i in range(4)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    FROM {_PLANTED_DUPS} docs
+), th AS (
+    SELECT doc_id,
+           list_transform(w, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+               AS hs
+    FROM toks
+), fp AS (
+    SELECT doc_id, ({sim_terms}) AS simhash FROM th
+), flat AS (
+    SELECT doc_id, simhash, band.band_idx AS band_idx,
+           band.band_val AS band_val
+    FROM (SELECT doc_id, simhash, unnest([{band_structs}]) AS band FROM fp)
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM flat a JOIN flat b USING (band_idx, band_val)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
+def _ivf_topk_sql() -> str:
+    corpus = (f"    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
+              f"    WHERE vec_id != {_QUERY_VEC_ID}")
+    return _ivf_cte(corpus) + "\nSELECT vec_id, cosine FROM ivf"
+
+
+def _ivf_recall_sql() -> str:
+    corpus = f"""    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE vec_id != {_QUERY_VEC_ID}
+    UNION ALL
+    SELECT e.vec_id + 1000000 AS vec_id,
+           [q0.q[i] * 0.85 + (e.embedding::DOUBLE[])[i] * 0.15
+            for i in range(1, len(e.embedding) + 1)] AS v
+    FROM embeddings e CROSS JOIN (
+        SELECT embedding::DOUBLE[] AS q FROM embeddings
+        WHERE vec_id = {_QUERY_VEC_ID}) q0
+    WHERE e.vec_id % 37 = 1 AND e.vec_id != {_QUERY_VEC_ID}"""
+    cos_vq = _r6("list_cosine_similarity(v, (SELECT q FROM qv))")
+    return _ivf_cte(corpus) + f"""
+, exact AS (
+    SELECT vec_id FROM corpus
+    ORDER BY {cos_vq} DESC, vec_id ASC LIMIT 10
+)
+SELECT count(*)::BIGINT AS n_overlap,
+       (count(*)::DOUBLE / 10.0) AS recall_at_10
+FROM ivf JOIN exact USING (vec_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1456,5 +1619,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _kg_triples_sql(),
         "kg_edges": _kg_edges_sql(),
         "kg_entities": _kg_entities_sql(),
-        # simhash_pairs, ivf_topk: covered below / rows-only by design.
+        "ivf_topk": _ivf_topk_sql(),
+        "ivf_recall": _ivf_recall_sql(),
+        "topk_hot_entities": """
+            SELECT user_id, count(*)::BIGINT AS cnt
+            FROM events GROUP BY user_id
+            ORDER BY cnt DESC, user_id ASC LIMIT 10
+        """,
+        "simhash_pairs": _simhash_sql(3),
     }

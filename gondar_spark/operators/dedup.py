@@ -288,20 +288,43 @@ def simhash_dedup(
     col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash near-dup pairs, fully JVM-side.
+    """SimHash near-dup pairs, fully JVM-side.
 
     simhash bit b = sign of sum over tokens of (+1 if bit b of
-    xxhash64(token) else -1). Candidate generation: split the 64-bit
-    fingerprint into 4 16-bit bands — any pair within hamming distance 3
-    shares at least one exact band (pigeonhole), so the join is an
-    equi-join on (band_idx, band_value), never all-pairs."""
+    hash(token) else -1). Candidate generation: split the fingerprint
+    into 4 bands — any pair within hamming distance 3 shares at least one
+    exact band (pigeonhole), so the join is an equi-join on
+    (band_idx, band_value), never all-pairs.
+
+    ``hash_fn``:
+      * "xxhash64" (default) — 64-bit JVM hash, 4x16-bit bands; the fast
+        production path (one codegen'd expression, no string material).
+      * "md5_60" — 60-bit hash from the first 15 hex chars of md5, 4x15-bit
+        bands; engine-portable (DuckDB computes the identical fingerprint:
+        ('0x' || substr(md5(t),1,15))::BIGINT), so this variant has an
+        exact SQL oracle. ~2x the hash cost of xxhash64 — use for
+        verification, not the 100 TB hot path.
+    """
+    if hash_fn == "xxhash64":
+        n_bits, band_bits = 64, 16
+        tok_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    elif hash_fn == "md5_60":
+        n_bits, band_bits = 60, 15
+        tok_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    n_bands = n_bits // band_bits
+    band_mask = (1 << band_bits) - 1
     # materialize token hashes ONCE; referencing an inline tokenizer from
     # 64 aggregate() lambdas would re-split the text 64x per row (no CSE
     # across higher-order functions)
     hashed_df = df.select(
         F.col(id_col).alias("id"),
-        F.transform(tokens_col(col), lambda t: F.xxhash64(t)).alias("_h"),
+        F.transform(tokens_col(col), tok_hash).alias("_h"),
     )
     hashed = F.col("_h")
     bit_votes = [
@@ -311,7 +334,7 @@ def simhash_dedup(
             lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        for b in range(64)
+        for b in range(n_bits)
     ]
     sim = None
     for b, v in enumerate(bit_votes):
@@ -327,11 +350,11 @@ def simhash_dedup(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("band_val"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("band"),

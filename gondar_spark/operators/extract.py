@@ -64,9 +64,17 @@ _COLS = [f.name for f in EXTRACT_SCHEMA]
 
 def _extract_micro_batch(pdf: pd.DataFrame, chunk_lines: int,
                          max_retries: int,
-                         extractor: ExtractorFn = extract_from_content
+                         extractor: ExtractorFn = extract_from_content,
+                         batch_extractor=None,
                          ) -> dict[str, list]:
-    """One extractor invocation per micro-batch (the batched 'LLM call')."""
+    """One extractor invocation per micro-batch (the batched 'LLM call').
+
+    ``batch_extractor`` (e.g. extraction.llm.BatchLLMExtractor) takes the
+    whole micro-batch at once — prompt assembly + batched transport calls
+    + JSON parse happen inside it; it returns per-row fact lists, with an
+    Exception in place of a list for rows that permanently failed (those
+    quarantine here, via the same emit path as per-row extractor errors).
+    """
     cols: dict[str, list] = {c: [] for c in _COLS}
 
     def emit(subj, pred, obj, kind, repo, path, commit, lang, chunk_id):
@@ -80,24 +88,41 @@ def _extract_micro_batch(pdf: pd.DataFrame, chunk_lines: int,
         cols["lang"].append(lang)
         cols["chunk_id"].append(chunk_id)
 
-    for repo, path, commit, lang, base_chunk, unit in zip(
+    rows = list(zip(
         pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
         pdf["base_chunk"], pdf["unit"]
-    ):
+    ))
+
+    if batch_extractor is not None:
+        results = batch_extractor.extract_batch(
+            [(lang, unit, f"{repo}:{path}", int(base))
+             for repo, path, commit, lang, base, unit in rows]
+        )
+    else:
+        results = None
+
+    for i, (repo, path, commit, lang, base_chunk, unit) in enumerate(rows):
         subj = f"{repo}:{path}"
         base = int(base_chunk)
-        attempt = 0
-        while True:
-            try:
-                facts = extractor(lang, unit)
-                break
-            except Exception as e:  # quarantine, never silently drop (A15)
-                attempt += 1
-                if attempt > max_retries:
-                    emit(subj, "__error__", str(e)[:500], "error",
-                         repo, path, commit, lang, -1)
-                    facts = []
+        if results is not None:
+            facts = results[i]
+            if isinstance(facts, Exception):
+                emit(subj, "__error__", str(facts)[:500], "error",
+                     repo, path, commit, lang, -1)
+                facts = []
+        else:
+            attempt = 0
+            while True:
+                try:
+                    facts = extractor(lang, unit)
                     break
+                except Exception as e:  # quarantine, never silently drop (A15)
+                    attempt += 1
+                    if attempt > max_retries:
+                        emit(subj, "__error__", str(e)[:500], "error",
+                             repo, path, commit, lang, -1)
+                        facts = []
+                        break
         for pred, obj, kind, line in facts:
             emit(subj, pred, obj, kind, repo, path, commit, lang,
                  base + line // chunk_lines)
@@ -107,7 +132,8 @@ def _extract_micro_batch(pdf: pd.DataFrame, chunk_lines: int,
 def extract_triples(units: DataFrame, max_retries: int = 2,
                     chunk_lines: int = 64,
                     emit_metrics: bool = True,
-                    extractor: ExtractorFn = extract_from_content
+                    extractor: ExtractorFn = extract_from_content,
+                    batch_extractor=None,
                     ) -> DataFrame:
     """units(repo,path,commit,lang,base_chunk,unit) -> triple rows.
 
@@ -120,7 +146,7 @@ def extract_triples(units: DataFrame, max_retries: int = 2,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols = _extract_micro_batch(pdf, chunk_lines, max_retries,
-                                        extractor)
+                                        extractor, batch_extractor)
             if emit_metrics:
                 # count BEFORE appending the metric row itself, and exclude
                 # quarantine (__error__) rows — triples only.

@@ -126,14 +126,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: scan only the n_probe cells nearest to the query."""
+    """ANN top-k: scan only the n_probe cells nearest to the query.
+
+    Probe selection rounds to 6 decimals with the same half-up formula as
+    assign_cells / the DuckDB oracle, so the probed cell set is identical
+    across engines (unrounded doubles could order two near-equal cells
+    differently)."""
     import math
 
     def cos(a, b):
         dot = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
+        raw = dot / (na * nb) if na and nb else 0.0
+        return math.floor(raw * 1e6 + 0.5) / 1e6
 
     order = sorted(
         range(len(centroids)),

@@ -32,14 +32,17 @@ STAGES = ("source", "triples_raw", "mentions", "edges", "labels", "materialize")
 
 class Pipeline:
     def __init__(self, spark: SparkSession, cfg: JobConfig,
-                 io: TableIO | None = None, extractor=None) -> None:
-        """``extractor`` plugs an alternative (lang, text) -> facts backend
-        into the extraction stage (e.g. extraction.llm.llm_extractor); the
-        default is the deterministic spec extractor."""
+                 io: TableIO | None = None, extractor=None,
+                 batch_extractor=None) -> None:
+        """``extractor`` plugs an alternative per-unit (lang, text) -> facts
+        backend into the extraction stage; ``batch_extractor`` plugs a
+        micro-batch backend (e.g. extraction.llm.BatchLLMExtractor — the
+        LLM path). Default: the deterministic spec extractor."""
         self.spark = spark
         self.cfg = cfg
         self.io = io or TableIO(spark, cfg.warehouse)
         self.extractor = extractor
+        self.batch_extractor = batch_extractor
         self._lineage_path = os.path.join(cfg.warehouse, "_lineage")
 
     # ---- lineage ----------------------------------------------------------
@@ -109,7 +112,11 @@ class Pipeline:
                                      "left_anti")
             units = chunk.prepare_extraction_units(
                 todo, cfg.chunk_lines, pass_through_chars=cfg.max_chunk_chars)
-            kw = {} if self.extractor is None else {"extractor": self.extractor}
+            kw = {}
+            if self.extractor is not None:
+                kw["extractor"] = self.extractor
+            if self.batch_extractor is not None:
+                kw["batch_extractor"] = self.batch_extractor
             raw = extract.extract_triples(units, cfg.extractor_max_retries,
                                           cfg.chunk_lines, **kw)
             return extract.split_extraction(raw)

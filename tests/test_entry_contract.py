@@ -65,6 +65,23 @@ def test_every_query_has_callable_and_alias_discipline():
     assert len(oracles) / len(qs) >= 0.85
 
 
+def test_every_query_has_oracle_now():
+    """Round-2 bar: every queries() entry carries an exact DuckDB oracle
+    (the round-1 rows-only set — simhash, IVF, kg_* — was converted via
+    engine-portable hashing, deterministic sampled centroids, and a
+    recursive-CTE connected-components closure)."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(qs) == set(oracles), set(qs) - set(oracles)
+
+
+def test_ivf_recall_meets_bar(spark):
+    """recall@10 >= 0.9 at n_probe=2 on the planted-neighborhood corpus
+    (VERDICT r1 item 5)."""
+    row = entrymod.q_ivf_recall(spark, SF).first()
+    assert row["recall_at_10"] >= 0.9, row
+
+
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_duckdb_oracle(spark, duck, name):
     qs = entrymod.queries()

@@ -199,6 +199,55 @@ def test_simhash_hamming_near_dups(spark):
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(0, 1, 3)]
 
 
+def test_simhash_md5_variant_agrees(spark):
+    """The md5_60 (oracle-portable) and xxhash64 (production) variants use
+    different token hashes but must agree on which pairs are near-dups,
+    and the md5_60 fingerprint must match a pure-python re-computation
+    (guards the conv/substr 60-bit parse)."""
+    words = ["w%d" % i for i in range(100)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["CHANGED"])
+    c = " ".join("z%d" % i for i in range(100))
+    df = _docs(spark, [a, b, c])
+    for fn in ("xxhash64", "md5_60"):
+        got = [(p["id_a"], p["id_b"]) for p in
+               simhash_dedup(df, max_hamming=5, hash_fn=fn).collect()]
+        assert got == [(0, 1)], (fn, got)
+
+    import hashlib
+
+    def py_simhash(text):
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+              for t in text.split()]
+        out = 0
+        for bit in range(60):
+            vote = sum(1 if (h >> bit) & 1 else -1 for h in hs)
+            if vote > 0:
+                out |= 1 << bit
+        return out
+
+    from gondar_spark.operators.dedup import tokens_col
+    from pyspark.sql import functions as FF
+
+    fp = (
+        df.select(
+            "doc_id",
+            FF.transform(
+                tokens_col("text"),
+                lambda t: FF.conv(
+                    FF.substring(FF.md5(t.cast("binary")), 1, 15), 16, 10
+                ).cast("long"),
+            ).alias("hs"),
+        )
+        .collect()
+    )
+    for row in fp:
+        text = [a, b, c][row["doc_id"]]
+        expect = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                  for t in text.split()]
+        assert list(row["hs"]) == expect
+
+
 # ---------------------------------------------------------------- similarity
 def _emb(spark):
     vecs = [

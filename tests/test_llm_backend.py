@@ -1,0 +1,145 @@
+"""The batched LLM extraction backend (A14 behind the seam): prompt
+assembly -> batched transport calls -> JSON parse -> retry/quarantine,
+plus token-per-minute budgeting (Flow.py:14 analog). The mock transport
+derives replies ONLY from the message list, so these tests exercise the
+full round-trip, not a bypass."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import pytest
+
+from gondar_spark.extraction.llm import (
+    BatchLLMExtractor,
+    MockChatTransport,
+    TokenRateLimiter,
+    TransportError,
+    estimate_tokens,
+    parse_reply,
+)
+from gondar_spark.extraction.prompts import build_messages
+from gondar_spark.extraction.spec import extract_from_content
+
+SAMPLE = "def alpha(ctx):\nclass Beta:\nimport core.utils\n    out = alpha(ctx)"
+
+
+def test_transport_roundtrip_matches_spec_extractor():
+    t = MockChatTransport()
+    msgs = build_messages(SAMPLE, "r:p.py", "python", 0)
+    reply = t.request(msgs, model="m", temperature=0.0, seed=1001,
+                      response_format={"type": "json_object"})
+    facts = parse_reply(reply["choices"][0]["message"]["content"])
+    assert facts == extract_from_content("python", SAMPLE)
+    assert reply["usage"]["prompt_tokens"] > 0
+    assert t.usage_completion_tokens > 0
+
+
+def test_rate_limiter_blocks_at_budget():
+    clock_now = [0.0]
+    waits: list[float] = []
+
+    def clock():
+        return clock_now[0]
+
+    def sleep(s):
+        waits.append(s)
+        clock_now[0] += s
+
+    lim = TokenRateLimiter(1000, clock=clock, sleep=sleep)
+    lim.acquire(600)
+    assert waits == []            # fits in window
+    lim.acquire(600)              # would exceed -> waits for window roll
+    assert len(waits) == 1 and waits[0] == pytest.approx(60.0)
+    lim.acquire(300)              # fresh window, fits
+    assert len(waits) == 1
+    clock_now[0] += 61
+    lim.acquire(1000)             # window expired naturally -> no wait
+    assert len(waits) == 1
+
+
+def test_batch_extractor_retries_transient_failures():
+    ext = BatchLLMExtractor(
+        transport_factory=partial(MockChatTransport, fail_every=3),
+        prompt_batch_size=4, max_retries=2,
+    )
+    rows = [("python", f"def f{i}(ctx):", f"r:f{i}.py", 0) for i in range(10)]
+    results = ext.extract_batch(rows)
+    assert all(not isinstance(r, Exception) for r in results)
+    assert [r[0][1] for r in results] == [f"f{i}" for i in range(10)]
+    assert ext.usage["n_failures"] > 0          # failures happened...
+    assert ext.usage["n_requests"] > len(rows)  # ...and were retried
+
+
+def test_batch_extractor_isolates_poison_row():
+    ext = BatchLLMExtractor(
+        transport_factory=partial(MockChatTransport, poison_marker="POISON"),
+        prompt_batch_size=8, max_retries=1,
+    )
+    rows = [("python", "def ok(ctx):", "r:a.py", 0),
+            ("python", "POISON def bad(ctx):", "r:b.py", 0),
+            ("python", "class Fine:", "r:c.py", 0)]
+    results = ext.extract_batch(rows)
+    assert results[0][0][1] == "ok"
+    assert isinstance(results[1], TransportError)
+    assert results[2][0][1] == "Fine"
+
+
+def test_parse_reply_rejects_contract_violations():
+    import json
+
+    good = {"headers": ["pred", "obj", "kind", "line"],
+            "satisfy": [], "data": {"pred": ["calls"], "obj": ["x"],
+                                    "kind": ["symbol"], "line": [0]}}
+    assert parse_reply(json.dumps(good)) == [("calls", "x", "symbol", 0)]
+    bad_empty = dict(good, data={"pred": ["calls"], "obj": [""],
+                                 "kind": ["symbol"], "line": [0]})
+    with pytest.raises(ValueError):
+        parse_reply(json.dumps(bad_empty))
+    bad_ragged = dict(good, data={"pred": ["calls", "calls"], "obj": ["x"],
+                                  "kind": ["symbol"], "line": [0]})
+    with pytest.raises(ValueError):
+        parse_reply(json.dumps(bad_ragged))
+
+
+def test_llm_path_reproduces_golden_triples(spark, tmp_path):
+    """e2e: the LLM-backed extraction stage reproduces the spec extractor's
+    golden triples (P/R = 1.0 gate) and quarantines poisoned files."""
+    from gondar_spark.config import JobConfig
+    from gondar_spark.eval import precision_recall
+    from gondar_spark.pipeline import Pipeline
+    from gondar_spark.synth import SynthConfig, generate_source_df, golden_triples_df
+
+    scfg = SynthConfig(n_files=60, seed=77)
+    src = generate_source_df(spark, scfg, partitions=4)
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="llm")
+    ext = BatchLLMExtractor(tokens_per_min=10_000_000)  # budget never binds
+    pipe = Pipeline(spark, cfg, batch_extractor=ext)
+    pipe.run(source_df=src)
+
+    golden = golden_triples_df(spark, scfg, 4)
+    p, r = precision_recall(pipe.io.read("triples_raw"), golden)
+    assert (p, r) == (1.0, 1.0)
+    assert pipe.io.read("quarantine").count() == 0
+
+    # poisoned corpus: the bad file quarantines, the rest still extract
+    poison = spark.createDataFrame(
+        [("org0/repo", "src/poison.py", "c0", "python", "POISON def x():")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    cfg2 = JobConfig(warehouse=str(tmp_path / "wh2"), run_id="llm2")
+    ext2 = BatchLLMExtractor(
+        transport_factory=partial(MockChatTransport, poison_marker="POISON"),
+        max_retries=1,
+    )
+    pipe2 = Pipeline(spark, cfg2, batch_extractor=ext2)
+    pipe2.run(source_df=src.unionByName(poison))
+    quar = pipe2.io.read("quarantine")
+    assert quar.count() == 1 and quar.first()["path"] == "src/poison.py"
+    p2, r2 = precision_recall(pipe2.io.read("triples_raw"), golden)
+    assert (p2, r2) == (1.0, 1.0)
+
+
+def test_estimate_tokens_positive():
+    msgs = build_messages("x = f(y)", "r:p.py", "js", 2)
+    assert estimate_tokens(msgs) >= len(msgs) * 4
