@@ -357,6 +357,36 @@ def q_topk_hot_entities(spark, sf_dir):
     return top_k_by_count(_t(spark, sf_dir, "events"), "user_id", k=10)
 
 
+# --- A4-A8 over REAL XML: xpath metadata/body/tables (reference article
+#     shape; the oracle re-extracts with regexes — different mechanism,
+#     same result, so xpath semantics are genuinely checked) --------------------
+def _xml_docs(spark, sf_dir):
+    from gondar_spark.operators.xml_ops import _clean, with_article_xml
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # only docs whose cleaned text fills all three sections (empty text
+    # nodes would shift xpath positions; both engines filter identically)
+    return with_article_xml(docs.filter(F.length(_clean(F.col("text"))) >= 30))
+
+
+def q_xml_meta(spark, sf_dir):
+    from gondar_spark.operators.xml_ops import xml_meta
+
+    return xml_meta(_xml_docs(spark, sf_dir))
+
+
+def q_xml_body_sections(spark, sf_dir):
+    from gondar_spark.operators.xml_ops import xml_body_sections
+
+    return xml_body_sections(_xml_docs(spark, sf_dir))
+
+
+def q_xml_tables(spark, sf_dir):
+    from gondar_spark.operators.xml_ops import xml_tables
+
+    return xml_tables(_xml_docs(spark, sf_dir))
+
+
 # --- text analysis ---------------------------------------------------------------
 def q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -830,6 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_edges": q_kg_edges,
         "kg_entities": q_kg_entities,
+        "xml_meta": q_xml_meta,
+        "xml_body_sections": q_xml_body_sections,
+        "xml_tables": q_xml_tables,
     }
 
 
@@ -1167,6 +1200,15 @@ def _ivf_recall_sql() -> str:
 SELECT count(*)::BIGINT AS n_overlap,
        (count(*)::DOUBLE / 10.0) AS recall_at_10
 FROM ivf JOIN exact USING (vec_id)"""
+
+
+_XML_ELIGIBLE = """
+    SELECT doc_id, lang, source,
+           regexp_replace(text, '[^a-zA-Z0-9 .,]', '', 'g') AS clean
+    FROM documents
+    WHERE doc_id < 200
+      AND length(regexp_replace(text, '[^a-zA-Z0-9 .,]', '', 'g')) >= 30
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1627,4 +1669,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cnt DESC, user_id ASC LIMIT 10
         """,
         "simhash_pairs": _simhash_sql(3),
+        # XML ops: Spark parses constructed article XML with xpath; the
+        # oracle recomputes every field straight from the documents row —
+        # different mechanism, same expected values.
+        "xml_meta": f"""
+            WITH eligible AS ({_XML_ELIGIBLE})
+            SELECT doc_id,
+                   'Doc ' || doc_id AS title,
+                   coalesce(source, '') AS journal,
+                   '10.5555/' || doc_id AS doi,
+                   '20' || lpad((doc_id % 30)::VARCHAR, 2, '0') AS epub_year,
+                   ('Doc ' || doc_id) || ' | ' ||
+                   (CASE WHEN coalesce(source, '') = '' THEN '?'
+                         ELSE source END) ||
+                   ' | 10.5555/' || doc_id AS meta_line
+            FROM eligible
+        """,
+        "xml_body_sections": f"""
+            WITH eligible AS ({_XML_ELIGIBLE}),
+            secs AS (
+                SELECT doc_id, clean,
+                       length(clean) AS n,
+                       CAST(floor(length(clean) / 3) AS INT) AS third
+                FROM eligible
+            ), exploded AS (
+                SELECT doc_id, CAST(0 AS INT) AS sec_idx,
+                       substr(clean, 1, third) AS raw FROM secs
+                UNION ALL
+                SELECT doc_id, CAST(1 AS INT),
+                       substr(clean, third + 1, third) FROM secs
+                UNION ALL
+                SELECT doc_id, CAST(2 AS INT),
+                       substr(clean, 2 * third + 1, n - 2 * third) FROM secs
+            )
+            SELECT doc_id, sec_idx,
+                   regexp_replace(trim(raw), '\\s+', ' ', 'g') AS section
+            FROM exploded
+            WHERE length(regexp_replace(trim(raw), '\\s+', ' ', 'g')) > 0
+        """,
+        "xml_tables": f"""
+            WITH eligible AS ({_XML_ELIGIBLE})
+            SELECT doc_id, 'cells ' || doc_id AS table_content
+            FROM eligible
+        """,
     }

@@ -156,6 +156,69 @@ def bench_cc(spark, n_edges: int = 100_000) -> float:
     return round(time.time() - t0, 3)
 
 
+# queries probed for super-linear scaling (the dedup/linking family — the
+# ones where a hidden quadratic term would sink a real 10x scale-up)
+SCALING_QUERIES = [
+    "exact_dedup",
+    "mention_dictionary",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+]
+
+
+def bench_scaling_10x(spark, sf_dir: str) -> dict:
+    """Per-query data-scaling ratios: run each probe query on the sf
+    corpus and on a 10x replicated-but-distinct corpus (each replica's
+    text is suffixed with a replica token, so shingle/band structure
+    scales the way real corpus growth does instead of creating artificial
+    100%-duplicate groups). ratio ~= 10 means linear; >> 10 flags a
+    quadratic term before a real scale-up finds it."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + 10_000_000 * i).alias("doc_id"),
+            (F.concat(F.col("text"), F.lit(f" r{i}")) if i else F.col("text")
+             ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for i in range(10)
+    ]
+    big = replicas[0]
+    for r in replicas[1:]:
+        big = big.unionByName(r)
+
+    # materialize the 10x corpus to parquet so scans cost the same shape
+    # as the sf table (a cached union would dodge the IO the sf run pays)
+    # every probe query reads ONLY the documents table, so the 10x dir
+    # needs nothing else
+    tmp = tempfile.mkdtemp(prefix="gondar_scale10_")
+    big.repartition(32).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    qs = entrymod.queries()
+    out = {}
+    for name in SCALING_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        t1 = time.time() - t0
+        t0 = time.time()
+        _force(qs[name](spark, tmp))
+        t10 = time.time() - t0
+        out[name] = {
+            "t_sf": round(t1, 3),
+            "t_10x": round(t10, 3),
+            "ratio": round(t10 / t1, 2) if t1 > 0 else None,
+        }
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -188,24 +251,26 @@ def main() -> None:
     extraction = bench_extraction(spark, n_files)
     timings["kg_extraction"] = extraction["sec"]
 
+    scaling = None
     if not only_extraction:
         timings["kg_pipeline_full"] = bench_full_pipeline(spark)
         timings["kg_cc_100k"] = bench_cc(spark)
+        if os.environ.get("GONDAR_BENCH_SCALING", "1") != "0":
+            scaling = bench_scaling_10x(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock + KG extraction throughput",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extraction": extraction,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline query wall-clock + KG extraction throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extraction": extraction,
+    }
+    if scaling is not None:
+        payload["scaling_10x"] = scaling
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -47,6 +47,10 @@ class JobConfig:
     shuffle_partitions: int = 32
     salt_buckets: int = 8                 # deterministic hash-salt fan-out for hot keys
     hot_key_threshold: int = 100_000      # rows per key before salting kicks in
+    max_block_size: int = 10_000          # LSH mega-block cap (B7): blocks of
+                                          # s norms emit s^2/2 pairs; dropped
+                                          # blocks are counted in lineage,
+                                          # never silently
 
     def __post_init__(self) -> None:
         if self.extractor_max_retries >= 10:

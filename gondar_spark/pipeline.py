@@ -188,7 +188,21 @@ class Pipeline:
             blocks = blocking.band_keys_df(
                 sig, cfg.minhash_hashes, cfg.lsh_bands,
                 lang_df=mentions if cfg.link_lang_aware else None)
-            pairs = blocking.candidate_pairs(blocks)
+            # mega-block cap accounting (B7/B10): the cap bounds the s^2/2
+            # pair blow-up of degenerate blocks and must never fire
+            # silently — record how many blocks it dropped (cheap agg over
+            # band keys, tiny next to the pair join it guards)
+            n_mega = (
+                blocks.groupBy("band_key")
+                .agg(F.count("*").alias("_bs"))
+                .filter(F.col("_bs") > cfg.max_block_size)
+                .count()
+            )
+            if n_mega:
+                self._log("edges_megablock_cap", n_blocks_dropped=n_mega,
+                          max_block_size=cfg.max_block_size)
+            pairs = blocking.candidate_pairs(
+                blocks, max_block_size=cfg.max_block_size)
             from .operators.scoring import score_pairs
             return {"edges": score_pairs(pairs, sig, cfg.link_threshold)}
         executed["edges"] = self._run_stage_lazy("edges", _edges, force=force)
