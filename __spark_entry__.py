@@ -387,6 +387,46 @@ def q_xml_tables(spark, sf_dir):
     return xml_tables(_xml_docs(spark, sf_dir))
 
 
+# --- Structured Streaming, oracle-checked: a REAL readStream run (file
+#     source -> watermarked tumbling window -> memory sink) drained with
+#     availableNow; the drained result must equal the batch SQL oracle ---------
+def q_streaming_hourly_events(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from gondar_spark.streaming.jobs import windowed_event_counts
+
+    # the file stream source requires a DIRECTORY; the sf tables are
+    # single read-only files — stage a symlink dir (zero-copy)
+    stage_dir = tempfile.mkdtemp(prefix="gondar_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stage_dir, "events.parquet"),
+    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .load(stage_dir)
+        # watermarks require TIMESTAMP (tz-aware); the parquet stores NTZ.
+        # The cast keeps wall-clock values (session tz), so window starts
+        # agree with the batch oracle's date_trunc.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    name = "q_stream_hourly_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 # --- text analysis ---------------------------------------------------------------
 def q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -863,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_meta": q_xml_meta,
         "xml_body_sections": q_xml_body_sections,
         "xml_tables": q_xml_tables,
+        "streaming_hourly_events": q_streaming_hourly_events,
     }
 
 
@@ -1711,5 +1752,14 @@ def oracle_sql() -> dict[str, str]:
             WITH eligible AS ({_XML_ELIGIBLE})
             SELECT doc_id, 'cells ' || doc_id AS table_content
             FROM eligible
+        """,
+        # the streaming run drains ALL data in one availableNow batch, so
+        # its windowed result must equal the batch hourly aggregation
+        "streaming_hourly_events": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_half_up
 from ..operators.chunk import prepare_extraction_units
 from ..operators.extract import extract_triples, split_extraction
 from ..synth import SOURCE_SCHEMA
@@ -101,7 +102,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            round_half_up(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -35,6 +35,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.add_argument("--force", action="store_true",
                    help="recompute all stages (ignore committed snapshots)")
+    p.add_argument("--extractor", choices=("spec", "llm-mock"), default="spec",
+                   help="extraction backend: the deterministic spec "
+                        "extractor, or the batched LLM path through the "
+                        "mock transport (prompt assembly -> batched calls "
+                        "-> JSON parse -> quarantine)")
+    p.add_argument("--tokens-per-min", type=int, default=0,
+                   help="per-worker token budget for the LLM backend "
+                        "(0 = unlimited)")
     return p.parse_args(argv)
 
 
@@ -58,7 +66,13 @@ def main(argv: list[str] | None = None) -> int:
         link_threshold=args.link_threshold,
         shuffle_partitions=args.shuffle_partitions,
     )
-    pipe = Pipeline(spark, cfg)
+    batch_extractor = None
+    if args.extractor == "llm-mock":
+        from gondar_spark.extraction.llm import BatchLLMExtractor
+
+        batch_extractor = BatchLLMExtractor(
+            tokens_per_min=args.tokens_per_min or None)
+    pipe = Pipeline(spark, cfg, batch_extractor=batch_extractor)
     source_df = None
     if args.synthetic:
         from gondar_spark.synth import SynthConfig, generate_source_df

@@ -85,8 +85,9 @@ def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000
     small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    rs = run_best(small, n_files, total_cpus=big)
-    rb = run_best(big, n_files, total_cpus=big)
+    samples = int(os.environ.get("GONDAR_SCALING_SAMPLES", "2"))
+    rs = run_best(small, n_files, total_cpus=big, samples=samples)
+    rb = run_best(big, n_files, total_cpus=big, samples=samples)
     eff = rb["docs_per_sec"] / (rs["docs_per_sec"] * (big / small))
     result = {
         "n_files": n_files,
@@ -121,8 +122,18 @@ See the driver-recorded BENCH_r*.json (one JSON line from `python
 bench.py` at sf0.1 on local[32]).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # surgical update: replace only the header + scaling section, KEEP the
+    # curated methodology / calibration / engineering notes that follow
+    # "## Headline query wall-clock" in the existing file
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    marker = "## Methodology"
+    if os.path.exists(path):
+        cur = open(path).read()
+        if marker in cur:
+            tail = cur[cur.index(marker):]
+    with open(path, "w") as f:
+        f.write(md + ("\n" + tail if tail else ""))
     if rs["n_triples"] != rb["n_triples"]:
         print("WARNING: triple counts differ between sizes!", file=sys.stderr)
         sys.exit(1)
