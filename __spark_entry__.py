@@ -240,7 +240,13 @@ def _docs_with_planted_dups(spark, sf_dir):
             F.concat(F.lit("dup "), F.col("text")).alias("text"),
         )
     )
-    return docs.unionByName(dups)
+    # the sf tables are single small parquet files -> 1-2 input splits;
+    # without a spread the md5-heavy shingle stage runs on 2 of 32 cores.
+    # At real scale the source arrives in many splits and this is a no-op
+    # cost-wise (a few MB through one shuffle here).
+    return docs.unionByName(dups).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

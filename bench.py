@@ -179,11 +179,18 @@ def bench_scaling_10x(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # every TOKEN gets a replica tag (r1word ...), keeping token/shingle
+    # counts identical to the sf corpus while making replica shingle sets
+    # fully disjoint. (A suffix-only tag leaves ~90% of word shingles
+    # shared across replicas — that corpus is quadratically near-dup BY
+    # CONSTRUCTION and any correct exact join must emit the O(n^2/10)
+    # pair blow-up; measured: an 80 GB verify-join spill. Linear scaling
+    # is only measurable on a corpus whose true answer scales linearly.)
     replicas = [
         docs.select(
             (F.col("doc_id") + 10_000_000 * i).alias("doc_id"),
-            (F.concat(F.col("text"), F.lit(f" r{i}")) if i else F.col("text")
-             ).alias("text"),
+            (F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}$1") if i
+             else F.col("text")).alias("text"),
             "lang", "source", "n_chars",
         )
         for i in range(10)
@@ -202,9 +209,11 @@ def bench_scaling_10x(spark, sf_dir: str) -> dict:
     qs = entrymod.queries()
     out = {}
     for name in SCALING_QUERIES:
+        spark.catalog.clearCache()  # no cross-probe cache bleed
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
         t1 = time.time() - t0
+        spark.catalog.clearCache()
         t0 = time.time()
         _force(qs[name](spark, tmp))
         t10 = time.time() - t0

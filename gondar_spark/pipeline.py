@@ -183,8 +183,11 @@ class Pipeline:
 
         # stage 4: blocking + candidate pairs + scoring (B6/B7/B8)
         def _edges():
+            # sig feeds band keys + both sides of the scoring join —
+            # persist so the md5 minhash computation runs once
             sig = blocking.minhash_signature_df(
-                mentions, cfg.minhash_hashes, cfg.extractor_seed, cfg.shingle_size)
+                mentions, cfg.minhash_hashes, cfg.extractor_seed,
+                cfg.shingle_size).persist()
             blocks = blocking.band_keys_df(
                 sig, cfg.minhash_hashes, cfg.lsh_bands,
                 lang_df=mentions if cfg.link_lang_aware else None)

@@ -143,3 +143,12 @@ def test_llm_path_reproduces_golden_triples(spark, tmp_path):
 def test_estimate_tokens_positive():
     msgs = build_messages("x = f(y)", "r:p.py", "js", 2)
     assert estimate_tokens(msgs) >= len(msgs) * 4
+
+
+def test_main_cli_exposes_llm_backend():
+    import main as mainmod
+
+    args = mainmod.parse_args(
+        ["--extractor", "llm-mock", "--tokens-per-min", "5000"])
+    assert args.extractor == "llm-mock" and args.tokens_per_min == 5000
+    assert mainmod.parse_args([]).extractor == "spec"
