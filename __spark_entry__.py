@@ -433,6 +433,35 @@ def q_streaming_hourly_events(spark, sf_dir):
     )
 
 
+def q_streaming_repo_totals(spark, sf_dir):
+    """Custom STATEFUL streaming operator, oracle-checked: the kg fixture
+    streams through the real extraction (mapInPandas inside a stream),
+    then applyInPandasWithState accumulates per-repo triple totals. The
+    fixture is one file -> availableNow drains it in a single micro-batch,
+    so update-mode emits exactly one final row per repo — comparable to
+    the batch SQL count."""
+    import tempfile
+    import uuid
+
+    from gondar_spark.streaming.jobs import (
+        stateful_repo_totals,
+        stream_source,
+        streaming_extraction,
+    )
+
+    stage_dir = tempfile.mkdtemp(prefix="gondar_stream_kg_")
+    os.symlink(_KG_FIXTURE, os.path.join(stage_dir, "kg_source.parquet"))
+    triples = streaming_extraction(stream_source(spark, stage_dir), 64)
+    totals = stateful_repo_totals(triples)
+    name = "q_stream_repo_totals_" + uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # --- text analysis ---------------------------------------------------------------
 def q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -910,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_body_sections": q_xml_body_sections,
         "xml_tables": q_xml_tables,
         "streaming_hourly_events": q_streaming_hourly_events,
+        "streaming_repo_totals": q_streaming_repo_totals,
     }
 
 
@@ -1759,6 +1789,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'cells ' || doc_id AS table_content
             FROM eligible
         """,
+        "streaming_repo_totals": _kg_prefix_sql() + """
+SELECT repo, count(*)::BIGINT AS total_triples
+FROM triples GROUP BY repo""",
         # the streaming run drains ALL data in one availableNow batch, so
         # its windowed result must equal the batch hourly aggregation
         "streaming_hourly_events": """
