@@ -433,6 +433,56 @@ def q_streaming_hourly_events(spark, sf_dir):
     )
 
 
+# --- as-of join (point-in-time lookup) — union+window implementation,
+#     oracled by DuckDB's NATIVE ASOF JOIN (independent implementation) --------
+def q_asof_event_lookup(spark, sf_dir):
+    from gondar_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    # build side unique per (user_id, ts): keep the max event_id row so
+    # equal-timestamp ties are engine-independent
+    bw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    build = (
+        ev.filter(F.col("event_id") % 97 != 0)
+        .withColumn("_rn", F.row_number().over(bw))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("b_event_id"),
+            round_half_up(F.col("value"), 4).alias("b_value"),
+        )
+    )
+    out = asof_join(probes, build, "user_id", "ts", ["b_event_id", "b_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("asof_b_event_id").alias("match_event_id"),
+        F.col("asof_b_value").alias("match_value"),
+    )
+
+
+# --- banded range join: same-key pairs within a 1-hour lookback ---------------
+def q_range_join_recent(spark, sf_dir):
+    from gondar_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 53 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    build = ev.filter(F.col("event_id") % 53 != 0).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    pairs = range_join(probes, build, "user_id", "ts", 3600)
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count("*").cast("long").alias("n_recent"),
+        round_half_up(F.sum("value_b"), 4).alias("sum_recent"),
+    )
+
+
 def q_streaming_repo_totals(spark, sf_dir):
     """Custom STATEFUL streaming operator, oracle-checked: the kg fixture
     streams through the real extraction (mapInPandas inside a stream),
@@ -940,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_tables": q_xml_tables,
         "streaming_hourly_events": q_streaming_hourly_events,
         "streaming_repo_totals": q_streaming_repo_totals,
+        "asof_event_lookup": q_asof_event_lookup,
+        "range_join_recent": q_range_join_recent,
     }
 
 
@@ -1788,6 +1840,46 @@ def oracle_sql() -> dict[str, str]:
             WITH eligible AS ({_XML_ELIGIBLE})
             SELECT doc_id, 'cells ' || doc_id AS table_content
             FROM eligible
+        """,
+        "asof_event_lookup": """
+            WITH probes AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_id % 97 = 0
+            ), build_ranked AS (
+                SELECT user_id, ts, event_id AS b_event_id,
+                       (floor(value * 10000.0 + 0.5) / 10000.0) AS b_value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_id % 97 != 0
+            ), build AS (
+                SELECT user_id, ts, b_event_id, b_value
+                FROM build_ranked WHERE rn = 1
+            )
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+                   b.b_event_id AS match_event_id,
+                   b.b_value AS match_value
+            FROM probes p
+            ASOF JOIN build b
+              ON p.user_id = b.user_id AND p.ts >= b.ts
+        """,
+        "range_join_recent": """
+            WITH probes AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_id % 53 = 0
+            ), build AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_id % 53 != 0
+            )
+            SELECT p.event_id, p.user_id,
+                   count(*)::BIGINT AS n_recent,
+                   (floor(sum(b.value) * 10000.0 + 0.5) / 10000.0)
+                       AS sum_recent
+            FROM probes p JOIN build b
+              ON p.user_id = b.user_id
+             AND b.ts > p.ts - INTERVAL 1 HOUR
+             AND b.ts <= p.ts
+            GROUP BY p.event_id, p.user_id
         """,
         "streaming_repo_totals": _kg_prefix_sql() + """
 SELECT repo, count(*)::BIGINT AS total_triples
