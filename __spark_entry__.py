@@ -272,6 +272,31 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+# --- dedup: near-dup clusters (LSH pairs -> connected components -> keeper) ----
+def q_dedup_clusters(spark, sf_dir):
+    """The full dedup decision: near-dup pairs grouped into clusters by
+    the SAME iterative CC operator the KG pipeline uses, keeper = min doc
+    id per cluster. Oracled end-to-end (LSH chain + recursive closure).
+    Ids are zero-padded so the CC operator's string-min label equals the
+    numeric min."""
+    from gondar_spark.operators import cc
+
+    pairs = minhash_lsh_pairs(
+        _docs_with_planted_dups(spark, sf_dir),
+        n_hashes=16, bands=8, seed=SEED, threshold=0.5,
+    )
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 8, "0")
+
+    edges = pairs.select(pad("id_a").alias("norm_a"), pad("id_b").alias("norm_b"))
+    labels = cc.connected_components(edges, 20)
+    return labels.select(
+        F.col("norm").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("keeper"),
+    )
+
+
 # --- similarity: brute-force cosine top-k -------------------------------------
 _QUERY_VEC_ID = 0
 
@@ -951,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "cosine_topk": q_cosine_topk,
         "knn_per_probe": q_knn_per_probe,
         "ivf_topk": q_ivf_topk,
@@ -1031,18 +1057,21 @@ def _minhash_sql(n_hashes: int, src: str) -> str:
     return _SHINGLES_CTE.format(src=src) + f"SELECT doc_id,\n       {hcols}\nFROM sh"
 
 
-def _lsh_pairs_sql(threshold: float) -> str:
+def _lsh_cte(threshold: float) -> str:
+    """The minhash-LSH pair chain as composable CTE text (no WITH
+    keyword) ending in `lsh_pairs(id_a, id_b, jaccard)` — shared by the
+    minhash_lsh_pairs oracle and the dedup_clusters recursive closure."""
     bands = 8
     rows = 2
     band_exprs = ", ".join(
-        f"('{b}:' || md5(h{b * rows} || '|' || h{b * rows + 1})) " for b in range(bands)
+        f"('{b}:' || md5(h{b * rows} || '|' || h{b * rows + 1})) "
+        for b in range(bands)
     )
     hcols = ",\n           ".join(
         f"list_min(list_transform(sh, s -> md5('{SEED}:{k}:' || s))) AS h{k}"
         for k in range(16)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
     FROM {_PLANTED_DUPS} docs
 ), sh AS (
@@ -1070,9 +1099,38 @@ WITH toks AS (
                  (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))) * 10000.0 + 0.5) / 10000.0)
                AS jaccard
     FROM pairs
+), lsh_pairs AS (
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+)"""
+
+
+def _lsh_pairs_sql(threshold: float) -> str:
+    return ("WITH " + _lsh_cte(threshold)
+            + "\nSELECT id_a, id_b, jaccard FROM lsh_pairs")
+
+
+def _dedup_clusters_sql(threshold: float) -> str:
+    """Near-dup clusters: recursive min-label closure over the LSH pair
+    graph; ids zero-padded so lexicographic min == numeric min (the CC
+    operator's labels are string mins)."""
+    return ("WITH RECURSIVE " + _lsh_cte(threshold) + """
+, nodes AS (
+    SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM lsh_pairs
+        UNION ALL SELECT id_b FROM lsh_pairs)
+), sym AS (
+    SELECT lpad(id_a::VARCHAR, 8, '0') AS s, lpad(id_b::VARCHAR, 8, '0') AS d
+    FROM lsh_pairs
+    UNION
+    SELECT lpad(id_b::VARCHAR, 8, '0'), lpad(id_a::VARCHAR, 8, '0')
+    FROM lsh_pairs
+), reach(a, b) AS (
+    SELECT lpad(id::VARCHAR, 8, '0'), lpad(id::VARCHAR, 8, '0') FROM nodes
+    UNION
+    SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s
 )
-SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
-"""
+SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS keeper
+FROM reach GROUP BY a""")
 
 
 # --- KG oracle SQL: extraction rules + linking chain + recursive-CTE CC,
@@ -1441,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
             4, "(SELECT doc_id, text FROM documents WHERE doc_id < 50) d"
         ),
         "minhash_lsh_pairs": _lsh_pairs_sql(0.5),
+        "dedup_clusters": _dedup_clusters_sql(0.5),
         "ngram_jaccard_pairs": f"""
             WITH toks AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
