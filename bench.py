@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "events_topk_users",
     "orders_running_total",
     "latest_event_per_user",
+    "asof_event_lookup",
+    "range_join_recent",
+    "xml_body_sections",
 ]
 
 
