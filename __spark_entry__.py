@@ -297,6 +297,30 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+# --- multimodal: Arrow binary-payload feature extraction, oracle-checked ------
+def q_media_features(spark, sf_dir):
+    """Binary media payloads through the mapInPandas feature UDF. The
+    deterministic fake decoder is a sha256-over-hex chain, so DuckDB
+    recomputes the digests AND the float32 feature values bit-for-bit
+    (the Spark side does real Arrow binary transfer + numpy; the oracle
+    does pure SQL string/int math — independent mechanisms)."""
+    from gondar_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_media_df,
+    )
+
+    out = extract_media_features(synthetic_media_df(spark, n=64, seed=42))
+    return out.select(
+        "media_id", "kind", "n_bytes", "payload_sha256",
+        *[
+            round_half_up(
+                F.element_at("features", i + 1).cast("double"), 6
+            ).alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
 # --- similarity: brute-force cosine top-k -------------------------------------
 _QUERY_VEC_ID = 0
 
@@ -977,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "media_features": q_media_features,
         "cosine_topk": q_cosine_topk,
         "knn_per_probe": q_knn_per_probe,
         "ivf_topk": q_ivf_topk,
@@ -1361,6 +1386,43 @@ SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
 
 
+def _media_features_sql(n: int = 64, seed: int = 42) -> str:
+    """The multimodal fake-decode chain in pure SQL: payload hex =
+    repeat(sha256('{seed}:{i}'), 4 + i%13); feature dwords = little-endian
+    uint32s of repeat(sha256(payload_hex), 2); f_j = round6(
+    ((dword::DOUBLE / 2^32-1)::FLOAT)::DOUBLE) — float32 cast included,
+    so values match numpy's astype(float32) bit-for-bit."""
+    def dword(j: int) -> str:
+        pairs = " + ".join(
+            f"(('0x' || substr(hh, {j * 8 + 1 + 2 * b}, 2))::BIGINT << {8 * b})"
+            for b in range(4)
+        )
+        return (f"(floor((((({pairs})::DOUBLE / 4294967295)::FLOAT)::DOUBLE)"
+                f" * 1000000.0 + 0.5) / 1000000.0) AS f{j}")
+
+    fcols = ",\n       ".join(dword(j) for j in range(4))
+    return f"""
+WITH g AS (
+    SELECT range AS i FROM range(0, {n})
+), p AS (
+    SELECT i, repeat(sha256('{seed}:' || i), 4 + i % 13) AS payload_hex
+    FROM g
+), s AS (
+    SELECT i, (length(payload_hex) // 2)::BIGINT AS n_bytes,
+           sha256(payload_hex) AS psha
+    FROM p
+), h2 AS (
+    SELECT i, n_bytes, psha, repeat(psha, 2) AS hh FROM s
+)
+SELECT i AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       n_bytes,
+       psha AS payload_sha256,
+       {fcols}
+FROM h2"""
+
+
 def _ivf_topk_sql() -> str:
     corpus = (f"    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
               f"    WHERE vec_id != {_QUERY_VEC_ID}")
@@ -1500,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_lsh_pairs": _lsh_pairs_sql(0.5),
         "dedup_clusters": _dedup_clusters_sql(0.5),
+        "media_features": _media_features_sql(),
         "ngram_jaccard_pairs": f"""
             WITH toks AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w

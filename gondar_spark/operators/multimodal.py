@@ -48,6 +48,10 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("features", T.ArrayType(T.FloatType()), False),
+        # exact-comparable provenance for the cross-engine oracle:
+        # payload digest (hex, engine-portable) — features themselves are
+        # float32; the oracle compares a rounded head of the vector
+        T.StructField("payload_sha256", T.StringType(), False),
     ]
 )
 
@@ -79,9 +83,11 @@ def decode_image_real(payload: bytes) -> "np.ndarray":
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in: hash the bytes into a fixed-width vector.
-    Same bytes -> same vector, so dedup/similarity tests are meaningful."""
-    h = hashlib.sha256(payload).digest()
+    """Deterministic stand-in: hash the payload (via its hex form — ASCII,
+    so the derivation is reproducible in engines whose sha256 only takes
+    strings, e.g. the DuckDB oracle) into a fixed-width vector. Same
+    bytes -> same vector, so dedup/similarity tests are meaningful."""
+    h = hashlib.sha256(payload.hex().encode()).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
@@ -101,12 +107,17 @@ def extract_media_features(media: DataFrame,
             feats = [
                 _fake_features(bytes(p)).tolist() for p in pdf["payload"]
             ]
+            digests = [
+                hashlib.sha256(bytes(p).hex().encode()).hexdigest()
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["n_bytes"].astype("int64"),
                     "features": feats,
+                    "payload_sha256": digests,
                 }
             )
 
