@@ -82,8 +82,11 @@ class TableIO:
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(tmp)
-            # count from the written files (no second job over the input)
-            n = self.spark.read.parquet(tmp).count()
+            # row count from the parquet FOOTERS (driver-side metadata
+            # read, microseconds per file) — not a second Spark scan of
+            # the data; at 6 stage writes per pipeline run the footer
+            # read saves a full re-scan per stage
+            n = self._count_from_footers(tmp)
             commit = {
                 "table": name,
                 "ts": time.time(),
@@ -113,6 +116,17 @@ class TableIO:
         except Exception as e:  # pragma: no cover - defensive
             shutil.rmtree(tmp, ignore_errors=True)
             raise TableFormatError(f"write({name}) failed: {e}") from e
+
+    @staticmethod
+    def _count_from_footers(path: str) -> int:
+        import pyarrow.parquet as pq
+
+        n = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return n
 
     # ---- read --------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
