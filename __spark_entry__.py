@@ -594,6 +594,54 @@ def q_fingerprints(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("join", "scan", "merge", "table", "query")
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25-lite retrieval ranking (rational idf — every op IEEE-exact
+    across engines; see functions.textstats.bm25_scores) for a fixed
+    query term set; global top-20 via TakeOrderedAndProject."""
+    from gondar_spark.functions.textstats import bm25_scores
+
+    scored = bm25_scores(_t(spark, sf_dir, "documents"), list(_BM25_TERMS))
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+def _bm25_sql(terms, k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirror of bm25_scores with IDENTICAL operation order (the doubles
+    are bit-equal only if every +,-,*,/ associates the same way)."""
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(w, t -> t = '{t}'))::DOUBLE AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n           ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(((n - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * ({k1} + 1))"
+        f" / (tf{i} + {k1} * (1 - {b} + ({b} * dl) / (sumdl / n))))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    FROM documents
+), tf AS (
+    SELECT doc_id, len(w)::DOUBLE AS dl,
+           {tf_cols}
+    FROM toks
+), stats AS (
+    SELECT count(*)::DOUBLE AS n, sum(dl) AS sumdl,
+           {df_cols}
+    FROM tf
+)
+SELECT doc_id,
+       (floor(({parts}) * 1000000.0 + 0.5) / 1000000.0) AS bm25
+FROM tf, stats
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20"""
+
+
 def q_winnowing_fps(spark, sf_dir):
     from gondar_spark.functions.textstats import winnowing_fingerprints
 
@@ -1012,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "winnowing_fps": q_winnowing_fps,
+        "bm25_rank": q_bm25_rank,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "nation_volume": q_nation_volume,
@@ -1563,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _lsh_pairs_sql(0.5),
         "dedup_clusters": _dedup_clusters_sql(0.5),
         "media_features": _media_features_sql(),
+        "bm25_rank": _bm25_sql(_BM25_TERMS),
         "ngram_jaccard_pairs": f"""
             WITH toks AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w

@@ -150,6 +150,61 @@ def winnowing_fingerprints(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-style retrieval scoring against a fixed term set, with a
+    RATIONAL idf — idf_t = (N - df_t + 0.5) / (df_t + 0.5) instead of its
+    logarithm — so every operation is +,-,*,/ on doubles (IEEE-exact and
+    identical across engines; log is not correctly-rounded-guaranteed and
+    would make the cross-engine oracle flaky at rounding boundaries).
+    Monotone in the classic BM25 per term, so rankings per term agree;
+    documented as the 'bm25-lite' variant.
+
+    Everything is two scans expressed declaratively: one tiny aggregate
+    for (N, avgdl, df_t) — broadcast as a 1-row cross join — and one
+    scoring pass. tf is computed per term from the SAME materialized
+    token array (HOF-CSE rule).
+    """
+    base = df.select(F.col(id_col), tokens_col(col).alias("_toks"))
+    toks = F.col("_toks")
+    tf_cols = [
+        F.size(F.filter(toks, lambda t: t == F.lit(term)))
+        .cast("double").alias(f"_tf{i}")
+        for i, term in enumerate(terms)
+    ]
+    with_tf = base.select(
+        id_col, F.size(toks).cast("double").alias("_dl"), *tf_cols
+    )
+    stats = with_tf.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf{i}") > 0, 1.0).otherwise(0.0))
+            .alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = with_tf.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl") / F.col("_n")
+    score = None
+    for i in range(len(terms)):
+        idf = (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        tf = F.col(f"_tf{i}")
+        part = idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("_dl") / avgdl)
+        )
+        score = part if score is None else score + part
+    return joined.select(
+        id_col, round_half_up(score, 6).alias("bm25")
+    )
+
+
 def with_fingerprints(df: DataFrame, col: str = "text") -> DataFrame:
     """Document fingerprints:
       * fp_exact   — md5 of whitespace-normalized lowercase text,
