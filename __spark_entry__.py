@@ -561,6 +561,12 @@ def q_streaming_repo_totals(spark, sf_dir):
     return spark.table(name)
 
 
+# --- embedding quantization: int8 codes + reconstruction error ----------------
+def q_quantize_error(spark, sf_dir):
+    out = similarity.quantize_int8_error(_t(spark, sf_dir, "embeddings"))
+    return out.orderBy(F.desc("max_abs_err"), F.asc("vec_id")).limit(20)
+
+
 # --- text analysis ---------------------------------------------------------------
 def q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -1061,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "winnowing_fps": q_winnowing_fps,
         "bm25_rank": q_bm25_rank,
+        "quantize_error": q_quantize_error,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "nation_volume": q_nation_volume,
@@ -1613,6 +1620,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_sql(0.5),
         "media_features": _media_features_sql(),
         "bm25_rank": _bm25_sql(_BM25_TERMS),
+        "quantize_error": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       list_min(embedding::DOUBLE[]) AS mn,
+                       (list_max(embedding::DOUBLE[])
+                        - list_min(embedding::DOUBLE[])) / 255.0 AS sc
+                FROM embeddings
+            ), coded AS (
+                SELECT vec_id, v, mn, sc,
+                       [CASE WHEN sc = 0.0 THEN 0
+                             ELSE floor((v[i] - mn) / sc + 0.5)::BIGINT END
+                        for i in range(1, len(v) + 1)] AS q
+                FROM base
+            )
+            SELECT vec_id,
+                   CAST(len(list_distinct(q)) AS INT) AS n_levels,
+                   (floor(list_max([abs(v[i] - (mn + q[i] * sc))
+                                    for i in range(1, len(v) + 1)])
+                          * 1000000.0 + 0.5) / 1000000.0) AS max_abs_err
+            FROM coded
+            ORDER BY max_abs_err DESC, vec_id ASC LIMIT 20
+        """,
         "ngram_jaccard_pairs": f"""
             WITH toks AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w

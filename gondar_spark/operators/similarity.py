@@ -151,6 +151,49 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def quantize_int8_error(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Linear int8 (0..255) per-vector quantization + reconstruction
+    error — the storage-compression step of a large-scale embedding
+    pipeline (4x smaller vectors before ANN indexing).
+
+    Per vector: scale = (max-min)/255, code = floor((x-min)/scale + 0.5),
+    dequant = min + code*scale, error = max |x - dequant|. Every
+    operation is per-element double arithmetic and the reduction is MAX
+    (order-independent), so the DuckDB oracle matches bit-for-bit — no
+    summation-order hazard. Constant vectors (scale 0) quantize to code 0
+    with zero error.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = (mx - mn) / 255.0
+    staged = df.select(
+        F.col(id_col), v.alias("_v"), mn.alias("_mn"), scale.alias("_sc")
+    )
+    code = F.transform(
+        F.col("_v"),
+        lambda x: F.when(F.col("_sc") == 0.0, F.lit(0).cast("bigint"))
+        .otherwise(F.floor((x - F.col("_mn")) / F.col("_sc") + 0.5)),
+    )
+    with_code = staged.select(id_col, "_v", "_mn", "_sc", code.alias("_q"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("_v"),
+            F.col("_q"),
+            lambda x, b: F.abs(x - (F.col("_mn") + b * F.col("_sc"))),
+        )
+    )
+    return with_code.select(
+        id_col,
+        F.size(F.array_distinct("_q")).cast("int").alias("n_levels"),
+        round_half_up(err, 6).alias("max_abs_err"),
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     centroids: list[list[float]],
