@@ -231,23 +231,32 @@ class BatchLLMExtractor:
         for start in range(0, len(prompts), self.prompt_batch_size):
             chunk = list(range(start, min(start + self.prompt_batch_size,
                                           len(prompts))))
+            # batch attempts: skip indices that already succeeded, so a
+            # retry never re-bills / re-budgets completed prompts, and the
+            # retry budget is effectively per-prompt, not per-chunk
             attempt = 0
-            while True:
+            while attempt <= self.max_retries and any(
+                out[i] is None for i in chunk
+            ):
+                attempt += 1
                 try:
                     for i in chunk:
-                        out[i] = self._call_one(prompts[i])
-                    break
+                        if out[i] is None:
+                            out[i] = self._call_one(prompts[i])
                 except Exception:
-                    attempt += 1
-                    if attempt > self.max_retries:
-                        # batch keeps failing: degrade to per-prompt calls
-                        # so ONE poison row quarantines alone (A15)
-                        for i in chunk:
-                            try:
-                                out[i] = self._call_one(prompts[i])
-                            except Exception as e:
-                                out[i] = e
-                        break
+                    continue  # next attempt resumes at the failed prompt
+            # still-incomplete rows: give each its OWN bounded retry so a
+            # transient failure on the last batch attempt isn't misfiled
+            # as permanent, and one poison row quarantines alone (A15)
+            for i in chunk:
+                tries = 0
+                while out[i] is None:
+                    try:
+                        out[i] = self._call_one(prompts[i])
+                    except Exception as e:
+                        tries += 1
+                        if tries > self.max_retries:
+                            out[i] = e
         return out
 
     @property

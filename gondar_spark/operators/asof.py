@@ -74,13 +74,15 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .drop("_side", "_bp")
     )
-    out = matched.select(
+    if inner:
+        # match-existence = the STRUCT being non-null — a genuine match
+        # whose first payload value happens to be NULL must be kept
+        # (DuckDB's native ASOF JOIN keeps it)
+        matched = matched.filter(F.col("_match").isNotNull())
+    return matched.select(
         *probe_cols,
         *[F.col(f"_match.{c}").alias(f"asof_{c}") for c in build_payload],
     )
-    if inner:
-        out = out.filter(F.col(f"asof_{build_payload[0]}").isNotNull())
-    return out
 
 
 def range_join(

@@ -12,8 +12,15 @@ the 100 TB path (shuffle on a compact key, never a quadratic self-join):
                            exact via blocked dot products (see similarity.py
                            for the ANN path)
 
-All but simhash have exact DuckDB oracles (md5-based hashing is
+All operators here have exact DuckDB oracles (md5-based hashing is
 engine-portable; see __spark_entry__.py).
+
+Cache ownership: minhash_lsh_pairs / ngram_jaccard_pairs / simhash_dedup
+persist their md5-heavy intermediate (shingles / fingerprints) because it
+feeds 2-4 DAG branches; the cached data lives until evicted (LRU,
+MEMORY_AND_DISK — degrades gracefully) or the CALLER drops it. Long-lived
+sessions issuing many dedup queries should spark.catalog.clearCache()
+between logical jobs (bench.py and tools/check_oracles.py do).
 """
 
 from __future__ import annotations

@@ -29,9 +29,12 @@ def top_k_per_group(
     """row_number window per group — the scalable per-group top-k.
 
     `tiebreak` (ascending) makes ranks at the k boundary deterministic when
-    `order` values collide; defaults to the group key itself, which is only a
-    real tie-break when rows within a group are otherwise unique on `order`.
-    Pass an id-like column for full determinism.
+    `order` values collide. WARNING: the default (the group key) is
+    CONSTANT within each window partition and therefore adds no ordering —
+    it exists only for callers whose (group, order) pairs are unique.
+    Whenever ties are possible, pass an id-like column (as
+    q_events_topk_users does with user_id) or boundary ranks are
+    partition-layout dependent.
     """
     order_cols = [F.desc(order), F.asc(tiebreak if tiebreak else group)]
     w = Window.partitionBy(group).orderBy(*order_cols)

@@ -137,17 +137,13 @@ class Pipeline:
             n_quar = new_quarantine.count()
             if n_new > 0 or n_quar > 0:
                 # persist quarantine even when no triples were added (A15:
-                # never silently drop), and dedupe on the file key so files
-                # re-extracted by later incremental runs don't stack
-                # duplicate quarantine rows.
-                import pyspark.sql.window as _W
+                # never silently drop), and dedupe on the FAILURE identity
+                # (file key + error message) so re-extraction doesn't stack
+                # duplicates — but distinct failures of one file (e.g. two
+                # poisoned chunks with different errors) are all kept.
                 quar_all = self.io.read("quarantine").unionByName(new_quarantine)
-                qw = _W.Window.partitionBy("repo", "path", "commit").orderBy(
-                    F.asc("obj"))
-                quar_dedup = (
-                    quar_all.withColumn("_rn", F.row_number().over(qw))
-                    .filter(F.col("_rn") == 1).drop("_rn")
-                )
+                quar_dedup = quar_all.dropDuplicates(
+                    ["repo", "path", "commit", "obj"])
                 merged = old.unionByName(new_triples) if n_new > 0 else old
                 self._run_stage(
                     "triples_raw",
@@ -193,19 +189,25 @@ class Pipeline:
                 lang_df=mentions if cfg.link_lang_aware else None)
             # mega-block cap accounting (B7/B10): the cap bounds the s^2/2
             # pair blow-up of degenerate blocks and must never fire
-            # silently — record how many blocks it dropped (cheap agg over
-            # band keys, tiny next to the pair join it guards)
-            n_mega = (
-                blocks.groupBy("band_key")
-                .agg(F.count("*").alias("_bs"))
-                .filter(F.col("_bs") > cfg.max_block_size)
-                .count()
+            # silently. Compute band sizes ONCE (persisted — it is tiny:
+            # one row per band key), use them for both the logged drop
+            # count and the cap filter, so the pair join doesn't re-run
+            # the same groupBy internally.
+            sizes = (
+                blocks.groupBy("band_key").agg(F.count("*").alias("_bs"))
+                .persist()
             )
+            n_mega = sizes.filter(F.col("_bs") > cfg.max_block_size).count()
             if n_mega:
                 self._log("edges_megablock_cap", n_blocks_dropped=n_mega,
                           max_block_size=cfg.max_block_size)
-            pairs = blocking.candidate_pairs(
-                blocks, max_block_size=cfg.max_block_size)
+            blocks_ok = blocks.join(
+                sizes.filter(F.col("_bs") <= cfg.max_block_size)
+                .select("band_key"),
+                "band_key",
+                "left_semi",
+            )
+            pairs = blocking.candidate_pairs(blocks_ok, max_block_size=None)
             from .operators.scoring import score_pairs
             return {"edges": score_pairs(pairs, sig, cfg.link_threshold)}
         executed["edges"] = self._run_stage_lazy("edges", _edges, force=force)

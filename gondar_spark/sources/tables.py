@@ -42,19 +42,27 @@ class TableIO:
             self._recover()
 
     def _recover(self) -> None:
-        """Finish interrupted swaps: for each `<name>.old-<id>` aside dir,
-        restore it if the new snapshot never committed (no manifest at the
-        final path), else delete it (crash happened after the swap)."""
+        """Finish interrupted swaps and clean write garbage:
+          * `<name>.old-<id>` aside dirs: restore if the new snapshot
+            never committed (no manifest at the final path), else delete
+            (crash happened after the swap);
+          * `<name>.tmp-<id>` staging dirs: always delete — a hard kill
+            mid-write skips the except-path cleanup and would otherwise
+            leave a full-size table copy in the warehouse forever
+            (single-writer design: no live writer exists at init)."""
         for entry in os.listdir(self.warehouse):
+            path = os.path.join(self.warehouse, entry)
+            if ".tmp-" in entry:
+                shutil.rmtree(path, ignore_errors=True)
+                continue
             if ".old-" not in entry:
                 continue
-            aside = os.path.join(self.warehouse, entry)
             final = os.path.join(self.warehouse, entry.split(".old-")[0])
             if not os.path.exists(os.path.join(final, _COMMIT)):
                 shutil.rmtree(final, ignore_errors=True)  # half-swapped tmp
-                os.rename(aside, final)
+                os.rename(path, final)
             else:
-                shutil.rmtree(aside, ignore_errors=True)
+                shutil.rmtree(path, ignore_errors=True)
 
     # ---- paths -----------------------------------------------------------
     def _path(self, name: str) -> str:

@@ -71,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         from gondar_spark.extraction.llm import BatchLLMExtractor
 
         batch_extractor = BatchLLMExtractor(
-            tokens_per_min=args.tokens_per_min or None)
+            tokens_per_min=args.tokens_per_min or None,
+            max_retries=cfg.extractor_max_retries)
     pipe = Pipeline(spark, cfg, batch_extractor=batch_extractor)
     source_df = None
     if args.synthetic:

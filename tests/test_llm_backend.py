@@ -71,6 +71,24 @@ def test_batch_extractor_retries_transient_failures():
     assert ext.usage["n_requests"] > len(rows)  # ...and were retried
 
 
+def test_transient_failures_never_quarantine_healthy_rows():
+    """Dense transient faults (every 2nd distinct prompt 429s once) with
+    a minimal retry budget: every row must still extract — retries resume
+    at the failed prompt instead of burning the budget on completed ones,
+    and the degrade path retries per-prompt rather than single-shot."""
+    ext = BatchLLMExtractor(
+        transport_factory=partial(MockChatTransport, fail_every=2),
+        prompt_batch_size=4, max_retries=1,
+    )
+    rows = [("python", f"def f{i}(ctx):", f"r:f{i}.py", 0) for i in range(12)]
+    results = ext.extract_batch(rows)
+    assert all(not isinstance(r, Exception) for r in results), results
+    assert [r[0][1] for r in results] == [f"f{i}" for i in range(12)]
+    # completed prompts are not re-billed: total requests is bounded by
+    # one success per prompt + one failure per faulted prompt
+    assert ext.usage["n_requests"] <= 12 + ext.usage["n_failures"]
+
+
 def test_batch_extractor_isolates_poison_row():
     ext = BatchLLMExtractor(
         transport_factory=partial(MockChatTransport, poison_marker="POISON"),

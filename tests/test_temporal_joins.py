@@ -56,6 +56,18 @@ def test_asof_join_scales_without_blowup(spark):
     assert rows == {m: m * 10 for m in range(10)}
 
 
+def test_asof_join_keeps_match_with_null_payload(spark):
+    """A genuine match whose payload value is NULL must survive the inner
+    filter (match-existence is the struct, not its first field) — the
+    semantics DuckDB's native ASOF JOIN has."""
+    probes = spark.createDataFrame([("u1", _ts(30), "p1")], ["k", "ts", "pid"])
+    build = spark.createDataFrame(
+        [("u1", _ts(10), None)], "k string, ts timestamp, val int"
+    )
+    out = asof_join(probes, build, "k", "ts", ["val"]).collect()
+    assert len(out) == 1 and out[0]["asof_val"] is None
+
+
 def test_range_join_window_boundaries(spark):
     probes = spark.createDataFrame(
         [("u1", _ts(30), "p1")], ["k", "ts", "pid"]

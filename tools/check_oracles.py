@@ -56,6 +56,8 @@ def main():
         if only and name not in only:
             continue
         try:
+            spark.catalog.clearCache()  # operator-owned persists: see
+            # gondar_spark/operators/dedup.py cache-ownership note
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sorted(sdf.columns)
