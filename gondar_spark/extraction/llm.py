@@ -8,24 +8,40 @@ module reproduces that contract Spark-first:
 
   * ``BatchLLMExtractor`` runs INSIDE the mapInPandas stage: per Arrow
     micro-batch it assembles one 3-message prompt per unit
-    (prompts.build_messages), issues ONE transport call per prompt batch
-    (micro-batched, partition-parallel — never a per-row driver loop),
-    parses the JSON replies, and returns per-row fact tuples in the same
-    shape the deterministic spec extractor emits — so retry / quarantine /
-    metric machinery in operators/extract.py is shared unchanged.
+    (prompts.build_messages) and issues ONE ``request_batch`` transport
+    call per prompt batch — request count = ceil(units /
+    prompt_batch_size) on the happy path (micro-batched,
+    partition-parallel — never a per-row driver loop), parses the JSON
+    replies, and returns per-row fact tuples in the same shape the
+    deterministic spec extractor emits — so retry / quarantine / metric
+    machinery in operators/extract.py is shared unchanged.
   * ``TokenRateLimiter`` enforces tokens-per-minute per worker (the
-    Flow.py:14 analog): on a 1000-executor cluster each worker enforces
-    budget/n_workers; clock and sleep are injectable so tests don't wait.
+    Flow.py:14 analog), shared process-wide via ``shared_limiter`` so
+    every task a worker runs draws from ONE window (not one window per
+    deserialized task closure): on a 1000-executor cluster each worker
+    enforces budget/n_workers; clock and sleep are injectable so tests
+    don't wait. The token counter is pluggable (``count_tokens=``) —
+    default is the 4-chars heuristic; pass a real tokenizer for exact
+    budgets against a production endpoint.
   * ``MockChatTransport`` is the deterministic stand-in endpoint (no
     network in this sandbox): it honors the JSON-mode message contract —
     replies derive ONLY from the message list — and supports fault
     injection to exercise the retry/quarantine path with real failures.
-    A real backend implements the same ``request()`` signature.
+  * ``HttpChatTransport`` is the production adapter: endpoint/key
+    validation and request timeout like the reference client
+    (PubMedFlow.py:55-105, :74-75), exponential backoff on 429/5xx
+    transient statuses (distinct from the caller's quarantine retries),
+    and an injectable ``http_post`` so the adapter is fully testable
+    against a fake socket — deployment is config, not code.
 
-Failure semantics: a failed BATCH call is retried ``max_retries`` times;
-if it still fails, the batch degrades to per-prompt calls so one poison
-row quarantines alone instead of sinking its whole micro-batch (A15 —
-never silently drop, never over-drop).
+Transport contract: ``request_batch(batch, **kw) -> list[reply]`` takes a
+LIST of prompt message-lists and returns one reply per prompt; it raises
+if the whole call fails (how real batch endpoints behave). Failure
+semantics downstream: a failed batch call is split into per-prompt calls
+with bounded retries, so one poison row quarantines alone instead of
+sinking its whole micro-batch (A15 — never silently drop, never
+over-drop) and a batch failure never re-bills prompts that can succeed
+alone.
 """
 
 from __future__ import annotations
@@ -49,6 +65,12 @@ class TokenRateLimiter:
 
     ``acquire(n)`` blocks (via the injected sleep) until the current
     window has room for n tokens. Deterministic under the injected clock.
+
+    Known bypass, by design: a SINGLE request estimated larger than the
+    whole per-minute budget is admitted at the start of a fresh window
+    (``_spent == 0``) without waiting — blocking could never make room for
+    it, so the alternative is deadlock. Such a request overdraws its
+    window; the next acquire waits the full remainder.
     """
 
     def __init__(self, tokens_per_min: int,
@@ -78,8 +100,25 @@ class TokenRateLimiter:
 
 def estimate_tokens(messages: list[dict[str, str]]) -> int:
     """4-chars-per-token heuristic + per-message overhead — an envelope
-    estimate for budgeting, not an exact tokenizer."""
+    estimate for budgeting (±~30% vs a real tokenizer). Pass an exact
+    tokenizer via BatchLLMExtractor(count_tokens=...) when budgeting
+    against a production endpoint."""
     return sum(len(m["content"]) // 4 + 4 for m in messages)
+
+
+# One rate window per (process, budget): Spark deserializes a fresh task
+# closure per task, so limiter state held on the extractor instance would
+# silently become a per-TASK window. Worker processes are reused across
+# tasks; a module-level registry keyed by budget gives the per-WORKER
+# window the budget math assumes.
+_SHARED_LIMITERS: dict[int, TokenRateLimiter] = {}
+
+
+def shared_limiter(tokens_per_min: int) -> TokenRateLimiter:
+    lim = _SHARED_LIMITERS.get(tokens_per_min)
+    if lim is None:
+        lim = _SHARED_LIMITERS[tokens_per_min] = TokenRateLimiter(tokens_per_min)
+    return lim
 
 
 class MockChatTransport:
@@ -120,7 +159,22 @@ class MockChatTransport:
     def request(self, messages: list[dict[str, str]], *, model: str,
                 temperature: float, seed: int, response_format: dict,
                 max_tokens: int | None = None) -> dict:
+        """Single-prompt call (the degraded/retry path)."""
         self.n_requests += 1
+        return self._reply(messages, temperature, response_format)
+
+    def request_batch(self, batch: list[list[dict[str, str]]], *, model: str,
+                      temperature: float, seed: int, response_format: dict,
+                      max_tokens: int | None = None) -> list[dict]:
+        """ONE billed request for a LIST of prompt message-lists. Any
+        per-prompt fault (poison / fail_every) fails the WHOLE call —
+        matching real batch-endpoint behavior; the caller splits the batch
+        per-prompt to isolate the offender."""
+        self.n_requests += 1
+        return [self._reply(m, temperature, response_format) for m in batch]
+
+    def _reply(self, messages: list[dict[str, str]], temperature: float,
+               response_format: dict) -> dict:
         assert temperature == 0.0 and response_format == {"type": "json_object"}
         lang, reference = self._reference_from(messages)
         if self.poison_marker and self.poison_marker in reference:
@@ -151,6 +205,117 @@ class MockChatTransport:
             "choices": [{"message": {"role": "assistant", "content": content}}],
             "usage": {"prompt_tokens": p_tok, "completion_tokens": c_tok},
         }
+
+
+class HttpChatTransport:
+    """Chat-completions adapter for a real endpoint, offline-testable.
+
+    Mirrors the reference client's deployment contract
+    (/root/reference/gondar/modules/PubMedFlow.py:55-105): endpoint and
+    API key are validated at construction, every request carries a hard
+    timeout (the reference pins 300 s, :74-75), temperature/seed/JSON-mode
+    ride the payload. Two failure classes are kept distinct:
+
+      * transient HTTP statuses (429 / 5xx) are retried HERE with
+        exponential backoff — connection pacing, invisible to the caller;
+      * anything still failing (or a non-transient status) raises
+        TransportError — the CALLER's bounded-retry/quarantine machinery
+        (extract.py A15) owns that, so backoff never double-counts
+        against the quarantine budget.
+
+    ``http_post(url, headers, body_bytes, timeout_s) -> (status, body)``
+    is injectable; tests drive the adapter with a fake socket, deployment
+    passes nothing and gets the urllib default. ``request_batch`` issues
+    one HTTP call per prompt (chat-completions endpoints take a single
+    message list); a provider batch API can subclass and override it.
+    """
+
+    TRANSIENT = frozenset({429, 500, 502, 503, 504})
+
+    def __init__(self, endpoint: str, api_key: str,
+                 http_post: Callable | None = None,
+                 timeout_s: float = 300.0,
+                 backoff_s: tuple[float, ...] = (1.0, 4.0),
+                 sleep: Callable[[float], None] = time.sleep) -> None:
+        if not endpoint.startswith(("http://", "https://")):
+            raise ValueError(f"endpoint must be http(s), got: {endpoint!r}")
+        if not api_key:
+            raise ValueError("api_key must be non-empty")
+        self.endpoint = endpoint
+        self.api_key = api_key
+        self.timeout_s = timeout_s
+        self.backoff_s = backoff_s
+        self._post = http_post or _urllib_post
+        self._sleep = sleep
+        self.n_requests = 0
+        self.n_failures = 0
+        self.usage_prompt_tokens = 0
+        self.usage_completion_tokens = 0
+
+    def request(self, messages: list[dict[str, str]], *, model: str,
+                temperature: float, seed: int, response_format: dict,
+                max_tokens: int | None = None) -> dict:
+        self.n_requests += 1
+        payload = {
+            "model": model,
+            "messages": messages,
+            "temperature": temperature,
+            "seed": seed,
+            "response_format": response_format,
+        }
+        if max_tokens is not None:
+            payload["max_tokens"] = max_tokens
+        body = json.dumps(payload).encode("utf-8")
+        headers = {
+            "Content-Type": "application/json",
+            "Authorization": f"Bearer {self.api_key}",
+        }
+        last_err = None
+        for attempt in range(len(self.backoff_s) + 1):
+            if attempt > 0:
+                self._sleep(self.backoff_s[attempt - 1])
+            try:
+                status, reply_body = self._post(
+                    self.endpoint, headers, body, self.timeout_s
+                )
+            except OSError as e:  # connect/read timeout, refused, reset
+                last_err = TransportError(f"connection failure: {e}")
+                continue
+            if status == 200:
+                doc = json.loads(reply_body)
+                usage = doc.get("usage", {})
+                self.usage_prompt_tokens += usage.get("prompt_tokens", 0)
+                self.usage_completion_tokens += usage.get(
+                    "completion_tokens", 0
+                )
+                return doc
+            if status in self.TRANSIENT:
+                last_err = TransportError(f"transient HTTP {status}")
+                continue
+            self.n_failures += 1
+            raise TransportError(f"HTTP {status}: {reply_body[:200]!r}")
+        self.n_failures += 1
+        raise last_err
+
+    def request_batch(self, batch: list[list[dict[str, str]]],
+                      **kw) -> list[dict]:
+        return [self.request(m, **kw) for m in batch]
+
+
+def _urllib_post(url: str, headers: dict, body: bytes,
+                 timeout_s: float) -> tuple[int, str]:
+    """Default http_post: stdlib urllib with a hard timeout (covers both
+    connect and read). Kept trivially small — everything above it is
+    tested against an injected fake."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return resp.status, resp.read().decode("utf-8")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode("utf-8", "replace")
 
 
 def parse_reply(content: str) -> list[tuple[str, str, str, int]]:
@@ -186,13 +351,16 @@ class BatchLLMExtractor:
                  seed: int = 1001,
                  max_retries: int = 2,
                  tokens_per_min: int | None = None,
-                 prompt_batch_size: int = 16) -> None:
+                 prompt_batch_size: int = 16,
+                 count_tokens: Callable[[list], int] | None = None) -> None:
         self.transport_factory = transport_factory
         self.model = model
         self.seed = seed
         self.max_retries = max_retries
         self.tokens_per_min = tokens_per_min
         self.prompt_batch_size = prompt_batch_size
+        # pluggable tokenizer for the rate budget; None -> 4-chars heuristic
+        self.count_tokens = count_tokens
         self._transport = None
         self._limiter = None
 
@@ -206,49 +374,71 @@ class BatchLLMExtractor:
         if self._transport is None:
             self._transport = self.transport_factory()
             if self.tokens_per_min:
-                self._limiter = TokenRateLimiter(self.tokens_per_min)
+                # process-wide window, NOT per task closure — worker reuse
+                # across tasks must share one budget (see module docstring)
+                self._limiter = shared_limiter(self.tokens_per_min)
+
+    def _count(self, messages: list[dict[str, str]]) -> int:
+        return (self.count_tokens or estimate_tokens)(messages)
 
     def _call_one(self, messages: list[dict[str, str]]) -> list:
         if self._limiter is not None:
-            self._limiter.acquire(estimate_tokens(messages))
+            self._limiter.acquire(self._count(messages))
         reply = self._transport.request(
             messages, model=self.model, temperature=0.0, seed=self.seed,
             response_format={"type": "json_object"},
         )
         return parse_reply(reply["choices"][0]["message"]["content"])
 
+    def _call_batch(self, chunk: list[list[dict[str, str]]]) -> list:
+        """ONE transport call for a whole prompt chunk. Per-reply parse
+        failures come back as None (only those rows re-run per-prompt);
+        a whole-call failure propagates to the caller."""
+        if self._limiter is not None:
+            self._limiter.acquire(sum(self._count(m) for m in chunk))
+        replies = self._transport.request_batch(
+            chunk, model=self.model, temperature=0.0, seed=self.seed,
+            response_format={"type": "json_object"},
+        )
+        out = []
+        for reply in replies:
+            try:
+                out.append(parse_reply(reply["choices"][0]["message"]["content"]))
+            except Exception:
+                out.append(None)
+        return out
+
     def extract_batch(self, rows: list[tuple[str, str, str, int]]
                       ) -> list[list | Exception]:
         """rows: (lang, unit, subj, base_chunk) -> per-row fact lists.
         A row whose extraction permanently fails yields its Exception in
-        place of a fact list (the caller quarantines it)."""
+        place of a fact list (the caller quarantines it).
+
+        Happy path: ceil(len(rows) / prompt_batch_size) transport
+        requests. A failed batch call is split straight into per-prompt
+        bounded retries — never re-run wholesale, so completed prompts are
+        never re-billed and one poison prompt quarantines alone (A15)."""
         self._ensure()
         prompts = [
             build_messages(unit, subj, lang, base_chunk)
             for lang, unit, subj, base_chunk in rows
         ]
         out: list[list | Exception] = [None] * len(rows)  # type: ignore
+        batched = hasattr(self._transport, "request_batch")
         for start in range(0, len(prompts), self.prompt_batch_size):
-            chunk = list(range(start, min(start + self.prompt_batch_size,
-                                          len(prompts))))
-            # batch attempts: skip indices that already succeeded, so a
-            # retry never re-bills / re-budgets completed prompts, and the
-            # retry budget is effectively per-prompt, not per-chunk
-            attempt = 0
-            while attempt <= self.max_retries and any(
-                out[i] is None for i in chunk
-            ):
-                attempt += 1
+            idx = list(range(start, min(start + self.prompt_batch_size,
+                                        len(prompts))))
+            if batched:
                 try:
-                    for i in chunk:
-                        if out[i] is None:
-                            out[i] = self._call_one(prompts[i])
+                    parsed = self._call_batch([prompts[i] for i in idx])
+                    for i, facts in zip(idx, parsed):
+                        if facts is not None:
+                            out[i] = facts
                 except Exception:
-                    continue  # next attempt resumes at the failed prompt
-            # still-incomplete rows: give each its OWN bounded retry so a
-            # transient failure on the last batch attempt isn't misfiled
-            # as permanent, and one poison row quarantines alone (A15)
-            for i in chunk:
+                    pass  # whole-call failure -> per-prompt isolation below
+            # per-prompt bounded retries for anything the batch call did
+            # not settle (or everything, on a transport without batching)
+            for i in idx:
                 tries = 0
                 while out[i] is None:
                     try:

@@ -11,12 +11,15 @@ from functools import partial
 import pytest
 
 from gondar_spark.extraction.llm import (
+    _SHARED_LIMITERS,
     BatchLLMExtractor,
+    HttpChatTransport,
     MockChatTransport,
     TokenRateLimiter,
     TransportError,
     estimate_tokens,
     parse_reply,
+    shared_limiter,
 )
 from gondar_spark.extraction.prompts import build_messages
 from gondar_spark.extraction.spec import extract_from_content
@@ -58,6 +61,18 @@ def test_rate_limiter_blocks_at_budget():
     assert len(waits) == 1
 
 
+def test_batch_extractor_one_request_per_chunk_happy_path():
+    """The headline batching contract: with no faults, request count is
+    EXACTLY ceil(rows / prompt_batch_size) — not one per unit."""
+    for n_rows, bs, want in [(10, 4, 3), (16, 16, 1), (17, 16, 2), (3, 8, 1)]:
+        ext = BatchLLMExtractor(prompt_batch_size=bs)
+        rows = [("python", f"def f{i}(ctx):", f"r:f{i}.py", 0)
+                for i in range(n_rows)]
+        results = ext.extract_batch(rows)
+        assert all(not isinstance(r, Exception) for r in results)
+        assert ext.usage["n_requests"] == want, (n_rows, bs)
+
+
 def test_batch_extractor_retries_transient_failures():
     ext = BatchLLMExtractor(
         transport_factory=partial(MockChatTransport, fail_every=3),
@@ -67,8 +82,10 @@ def test_batch_extractor_retries_transient_failures():
     results = ext.extract_batch(rows)
     assert all(not isinstance(r, Exception) for r in results)
     assert [r[0][1] for r in results] == [f"f{i}" for i in range(10)]
-    assert ext.usage["n_failures"] > 0          # failures happened...
-    assert ext.usage["n_requests"] > len(rows)  # ...and were retried
+    assert ext.usage["n_failures"] > 0  # failures happened and were retried
+    # bounded: <= one call per chunk + one per-prompt success + failures
+    n_chunks = 3
+    assert ext.usage["n_requests"] <= n_chunks + 10 + ext.usage["n_failures"]
 
 
 def test_transient_failures_never_quarantine_healthy_rows():
@@ -85,8 +102,8 @@ def test_transient_failures_never_quarantine_healthy_rows():
     assert all(not isinstance(r, Exception) for r in results), results
     assert [r[0][1] for r in results] == [f"f{i}" for i in range(12)]
     # completed prompts are not re-billed: total requests is bounded by
-    # one success per prompt + one failure per faulted prompt
-    assert ext.usage["n_requests"] <= 12 + ext.usage["n_failures"]
+    # one call per chunk + one success per prompt + one per faulted prompt
+    assert ext.usage["n_requests"] <= 3 + 12 + ext.usage["n_failures"]
 
 
 def test_batch_extractor_isolates_poison_row():
@@ -156,6 +173,157 @@ def test_llm_path_reproduces_golden_triples(spark, tmp_path):
     assert quar.count() == 1 and quar.first()["path"] == "src/poison.py"
     p2, r2 = precision_recall(pipe2.io.read("triples_raw"), golden)
     assert (p2, r2) == (1.0, 1.0)
+
+
+def test_shared_limiter_is_per_process_per_budget():
+    try:
+        a = shared_limiter(4242)
+        b = shared_limiter(4242)
+        c = shared_limiter(9999)
+        assert a is b and a is not c
+        # two extractor instances (= two deserialized task closures) with
+        # the same budget must draw from ONE window
+        e1 = BatchLLMExtractor(tokens_per_min=4242)
+        e2 = BatchLLMExtractor(tokens_per_min=4242)
+        e1._ensure()
+        e2._ensure()
+        assert e1._limiter is e2._limiter
+    finally:
+        _SHARED_LIMITERS.pop(4242, None)
+        _SHARED_LIMITERS.pop(9999, None)
+
+
+def test_exact_tokenizer_paces_budget_by_real_counts():
+    """With a fake exact tokenizer (flat 500 tokens/prompt) and a 1000
+    tokens/min budget, the limiter must admit exactly two prompts per
+    window and wait out the remainder before the third — pacing follows
+    the REAL count, not the chars//4 heuristic (which would be tiny for
+    these prompts and never wait)."""
+    budget = 1000
+    clock_now = [0.0]
+    waits: list[float] = []
+
+    def clock():
+        return clock_now[0]
+
+    def sleep(s):
+        waits.append(s)
+        clock_now[0] += s
+
+    try:
+        _SHARED_LIMITERS[budget] = TokenRateLimiter(
+            budget, clock=clock, sleep=sleep
+        )
+        ext = BatchLLMExtractor(
+            tokens_per_min=budget,
+            prompt_batch_size=1,  # one acquire per prompt
+            count_tokens=lambda messages: 500,
+        )
+        rows = [("python", f"def f{i}(ctx):", f"r:f{i}.py", 0)
+                for i in range(4)]
+        results = ext.extract_batch(rows)
+        assert all(not isinstance(r, Exception) for r in results)
+        # prompts 1+2 fill the window; 3 waits; 3+4 fill the next window
+        assert len(waits) == 1 and waits[0] == pytest.approx(60.0)
+        # heuristic path (default count_tokens=None) stays wait-free
+        _SHARED_LIMITERS[budget] = TokenRateLimiter(
+            budget, clock=clock, sleep=sleep
+        )
+        ext2 = BatchLLMExtractor(tokens_per_min=budget, prompt_batch_size=1)
+        ext2.extract_batch(rows)
+        assert len(waits) == 1  # no new waits
+    finally:
+        _SHARED_LIMITERS.pop(budget, None)
+
+
+# ---------------------------------------------------------------- HTTP adapter
+def _ok_body(content='{"x": 1}'):
+    import json
+
+    return json.dumps({
+        "choices": [{"message": {"role": "assistant", "content": content}}],
+        "usage": {"prompt_tokens": 7, "completion_tokens": 3},
+    })
+
+
+def test_http_transport_validates_config():
+    with pytest.raises(ValueError):
+        HttpChatTransport("ftp://nope", "key")
+    with pytest.raises(ValueError):
+        HttpChatTransport("https://ok.example/v1", "")
+
+
+def test_http_transport_happy_path_posts_payload():
+    import json
+
+    calls = []
+
+    def fake_post(url, headers, body, timeout_s):
+        calls.append((url, headers, json.loads(body), timeout_s))
+        return 200, _ok_body()
+
+    t = HttpChatTransport("https://ep.example/v1/chat", "sk-test",
+                          http_post=fake_post, timeout_s=300.0)
+    reply = t.request([{"role": "user", "content": "hi"}], model="m",
+                      temperature=0.0, seed=1001,
+                      response_format={"type": "json_object"})
+    assert reply["choices"][0]["message"]["content"] == '{"x": 1}'
+    url, headers, payload, timeout_s = calls[0]
+    assert url == "https://ep.example/v1/chat" and timeout_s == 300.0
+    assert headers["Authorization"] == "Bearer sk-test"
+    assert payload["temperature"] == 0.0 and payload["seed"] == 1001
+    assert t.usage_prompt_tokens == 7 and t.usage_completion_tokens == 3
+
+
+def test_http_transport_backs_off_on_429_then_succeeds():
+    statuses = [429, 503, 200]
+    slept: list[float] = []
+
+    def fake_post(url, headers, body, timeout_s):
+        s = statuses.pop(0)
+        return (s, _ok_body() if s == 200 else "slow down")
+
+    t = HttpChatTransport("https://ep.example/v1", "k", http_post=fake_post,
+                          backoff_s=(1.0, 4.0), sleep=slept.append)
+    reply = t.request([{"role": "user", "content": "x"}], model="m",
+                      temperature=0.0, seed=1,
+                      response_format={"type": "json_object"})
+    assert reply["choices"]
+    assert slept == [1.0, 4.0]  # exponential backoff, distinct from caller retry
+    assert t.n_failures == 0  # transients resolved here never count
+
+
+def test_http_transport_exhausted_backoff_and_hard_errors_raise():
+    def always_429(url, headers, body, timeout_s):
+        return 429, "rate limited"
+
+    t = HttpChatTransport("https://ep.example/v1", "k", http_post=always_429,
+                          backoff_s=(0.0,), sleep=lambda s: None)
+    with pytest.raises(TransportError):
+        t.request([{"role": "user", "content": "x"}], model="m",
+                  temperature=0.0, seed=1,
+                  response_format={"type": "json_object"})
+    assert t.n_failures == 1
+
+    def bad_request(url, headers, body, timeout_s):
+        return 400, "schema error"
+
+    t2 = HttpChatTransport("https://ep.example/v1", "k", http_post=bad_request,
+                           backoff_s=(0.0,), sleep=lambda s: None)
+    with pytest.raises(TransportError):  # non-transient: no retry loop
+        t2.request([{"role": "user", "content": "x"}], model="m",
+                   temperature=0.0, seed=1,
+                   response_format={"type": "json_object"})
+
+    def timeout_post(url, headers, body, timeout_s):
+        raise OSError("read timed out")
+
+    t3 = HttpChatTransport("https://ep.example/v1", "k", http_post=timeout_post,
+                           backoff_s=(0.0,), sleep=lambda s: None)
+    with pytest.raises(TransportError):
+        t3.request([{"role": "user", "content": "x"}], model="m",
+                   temperature=0.0, seed=1,
+                   response_format={"type": "json_object"})
 
 
 def test_estimate_tokens_positive():
