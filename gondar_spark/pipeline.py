@@ -82,18 +82,41 @@ class Pipeline:
 
     # ---- stages -----------------------------------------------------------
     def run(self, source_df: DataFrame | None = None, force: bool = False,
-            incremental: bool = False) -> dict:
+            incremental: bool = False,
+            source_path: str | None = None) -> dict:
         """Run all stages with resume. ``incremental=True`` additionally
         enables file-level resume of the extraction stage: files already
-        present in the committed ``triples_raw`` snapshot are skipped via
+        recorded in the committed ``extract_done`` ledger are skipped via
         an anti-join on (repo, path, commit), and downstream stages are
         recomputed only when extraction actually added rows (B12 —
-        resume-by-anti-join, /root/repo/BASELINE.json:6,14)."""
+        resume-by-anti-join, /root/repo/BASELINE.json:6,14). The ledger
+        records every file whose extraction COMPLETED — including files
+        that yielded zero triples and quarantined files — so an unchanged
+        corpus re-runs with zero extractor invocations.
+
+        ``source_path`` is the ZERO-COPY ingestion mode: the existing
+        committed corpus at that path is registered (a pointer, no data
+        movement) and only the small sha256 table is written — at 100 TB
+        the copy+shuffle of the ``source_df`` path is a job in itself and
+        must not be paid to ingest data that is already at rest.
+        ``source_df`` (fixture/test mode) keeps the copying behavior."""
         cfg = self.cfg
         executed: dict[str, bool] = {}
 
         # stage 1: source scan + sha256 pass (B1/B2)
-        if source_df is not None:
+        if source_path is not None and source_df is not None:
+            raise ValueError("pass source_df OR source_path, not both")
+        if source_path is not None:
+            if force or incremental or not self.io.exists(cfg.source_table):
+                self.io.register(cfg.source_table, source_path)
+            registered = self.io.read(cfg.source_table)
+            executed["source"] = self._run_stage(
+                "source",
+                {"source_hashes": source.with_content_sha(registered).select(
+                    "repo", "path", "commit", "content_sha256")},
+                force=force or incremental,
+            )
+        elif source_df is not None:
             executed["source"] = self._run_stage(
                 "source",
                 {cfg.source_table: source_df,
@@ -122,49 +145,76 @@ class Pipeline:
             return extract.split_extraction(raw)
 
         if incremental and self.io.exists("triples_raw") and not force:
+            # done-file LEDGER keyed on (repo, path, commit): triples_raw
+            # alone cannot serve — files whose extraction yielded zero
+            # triples leave no row there and would re-extract on EVERY
+            # incremental run (a standing extractor tax at billions of
+            # files). Older warehouses without the ledger fall back to the
+            # triples_raw-derived key set once; this run commits the
+            # ledger and the tax ends.
             old = self.io.read("triples_raw")
-            done = old.select("repo", "path", "commit").distinct()
-            # NB: files whose extraction yielded ZERO triples re-extract —
-            # cheap and idempotent; tracking them would need a done-file
-            # ledger (the sha table serves in a later round if needed).
-            new_triples, new_quarantine, _ = _extract(src, done)
-            # materialize BEFORE overwriting triples_raw: these plans read
-            # the old snapshot lazily, and the upcoming swap would change
-            # what the anti-join sees mid-write
-            new_triples = new_triples.localCheckpoint(eager=True)
-            new_quarantine = new_quarantine.localCheckpoint(eager=True)
-            n_new = new_triples.count()
-            n_quar = new_quarantine.count()
-            if n_new > 0 or n_quar > 0:
-                # persist quarantine even when no triples were added (A15:
-                # never silently drop), and dedupe on the FAILURE identity
-                # (file key + error message) so re-extraction doesn't stack
-                # duplicates — but distinct failures of one file (e.g. two
-                # poisoned chunks with different errors) are all kept.
-                quar_all = self.io.read("quarantine").unionByName(new_quarantine)
-                quar_dedup = quar_all.dropDuplicates(
-                    ["repo", "path", "commit", "obj"])
-                merged = old.unionByName(new_triples) if n_new > 0 else old
-                self._run_stage(
-                    "triples_raw",
-                    {"triples_raw": merged, "quarantine": quar_dedup},
-                    force=True,
-                )
-                self._log("triples_raw_incremental", new_rows=n_new,
-                          new_quarantine=n_quar)
-                executed["triples_raw"] = True
-                force_downstream = n_new > 0
+            if self.io.exists("extract_done"):
+                done = self.io.read("extract_done")
             else:
-                self._log("triples_raw_incremental", new_rows=0, skipped=True)
+                done = old.select("repo", "path", "commit").distinct()
+            todo_keys = (
+                src.select("repo", "path", "commit").distinct()
+                .join(done, ["repo", "path", "commit"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            n_todo = todo_keys.count()
+            if n_todo == 0:
+                # ZERO extractor invocations: no extraction plan is even
+                # built — the gate the ledger exists to provide
+                self._log("triples_raw_incremental", n_todo=0, new_rows=0,
+                          skipped=True)
                 executed["triples_raw"] = False
                 force_downstream = False
+            else:
+                new_triples, new_quarantine, new_metrics = _extract(src, done)
+                # materialize BEFORE overwriting triples_raw: these plans
+                # read the old snapshot lazily, and the upcoming swap would
+                # change what the anti-join sees mid-write
+                new_triples = new_triples.localCheckpoint(eager=True)
+                new_quarantine = new_quarantine.localCheckpoint(eager=True)
+                new_metrics = new_metrics.select(
+                    F.col("obj").alias("metric"), "chunk_id"
+                ).localCheckpoint(eager=True)
+                n_new = new_triples.count()
+                n_quar = new_quarantine.count()
+                # the ledger advances for every ATTEMPTED file — zero-triple
+                # and quarantined files included (their outcome is recorded
+                # in quarantine; force=True re-extracts everything)
+                tables = {"extract_done": done.unionByName(todo_keys)}
+                if n_new > 0:
+                    tables["triples_raw"] = old.unionByName(new_triples)
+                if n_quar > 0:
+                    # persist quarantine even when no triples were added
+                    # (A15: never silently drop), deduped on the FAILURE
+                    # identity (file key + error message) so re-extraction
+                    # doesn't stack duplicates — but distinct failures of
+                    # one file (e.g. two poisoned chunks with different
+                    # errors) are all kept.
+                    quar_all = self.io.read("quarantine").unionByName(
+                        new_quarantine)
+                    tables["quarantine"] = quar_all.dropDuplicates(
+                        ["repo", "path", "commit", "obj"])
+                tables["extract_metrics"] = self.io.read(
+                    "extract_metrics").unionByName(new_metrics)
+                self._run_stage("triples_raw", tables, force=True)
+                self._log("triples_raw_incremental", n_todo=n_todo,
+                          new_rows=n_new, new_quarantine=n_quar)
+                executed["triples_raw"] = True
+                force_downstream = n_new > 0
             force = force or force_downstream
         else:
             def _extract_all():
                 triples, quarantine, metrics = _extract(src)
                 return {"triples_raw": triples, "quarantine": quarantine,
                         "extract_metrics": metrics.select(
-                            F.col("obj").alias("metric"), "chunk_id")}
+                            F.col("obj").alias("metric"), "chunk_id"),
+                        "extract_done": src.select(
+                            "repo", "path", "commit").distinct()}
             executed["triples_raw"] = self._run_stage_lazy(
                 "triples_raw", _extract_all, force=force)
         triples_raw = self.io.read("triples_raw")
@@ -180,7 +230,11 @@ class Pipeline:
         # stage 4: blocking + candidate pairs + scoring (B6/B7/B8)
         def _edges():
             # sig feeds band keys + both sides of the scoring join —
-            # persist so the md5 minhash computation runs once
+            # persist so the md5 minhash computation runs once. Both
+            # persists are released in _run_stage_lazy's finally once the
+            # stage write (the one action that consumes them) completes —
+            # a long-lived session must not accumulate cached signatures
+            # across runs.
             sig = blocking.minhash_signature_df(
                 mentions, cfg.minhash_hashes, cfg.extractor_seed,
                 cfg.shingle_size).persist()
@@ -209,7 +263,8 @@ class Pipeline:
             )
             pairs = blocking.candidate_pairs(blocks_ok, max_block_size=None)
             from .operators.scoring import score_pairs
-            return {"edges": score_pairs(pairs, sig, cfg.link_threshold)}
+            return ({"edges": score_pairs(pairs, sig, cfg.link_threshold)},
+                    [sig, sizes])
         executed["edges"] = self._run_stage_lazy("edges", _edges, force=force)
         edges = self.io.read("edges")
 
@@ -241,17 +296,27 @@ class Pipeline:
 
     def _run_stage_lazy(self, name, thunk, partition_by=None, force=False) -> bool:
         """Resume-aware stage: only build the DataFrames if not committed
-        (building them is cheap/lazy, but skipping keeps lineage honest)."""
+        (building them is cheap/lazy, but skipping keeps lineage honest).
+        A thunk may return (tables, [cached DataFrames]); the caches are
+        unpersisted once the stage write completes (or fails) so repeated
+        runs in one session never accumulate executor storage."""
         probe_tables = _STAGE_TABLES[name]
         if not force and all(self.io.exists(t) for t in probe_tables):
             self._log(name, skipped=True)
             return False
-        tables = thunk()
-        return self._run_stage(name, tables, partition_by=partition_by, force=True)
+        built = thunk()
+        tables, caches = built if isinstance(built, tuple) else (built, [])
+        try:
+            return self._run_stage(
+                name, tables, partition_by=partition_by, force=True)
+        finally:
+            for df in caches:
+                df.unpersist()
 
 
 _STAGE_TABLES = {
-    "triples_raw": ("triples_raw", "quarantine", "extract_metrics"),
+    "triples_raw": ("triples_raw", "quarantine", "extract_metrics",
+                    "extract_done"),
     "mentions": ("mentions",),
     "edges": ("edges",),
     "labels": ("labels",),

@@ -81,7 +81,9 @@ class TableIO:
                 from pyspark.sql import functions as F
                 writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
             writer.createOrReplace()
-            commit = {"table": name, "ts": time.time(), "meta": meta or {}}
+            commit = {"table": name, "ts": time.time(),
+                      "rows": self._iceberg_row_count(name),
+                      "meta": meta or {}}
             return commit
         final = self._path(name)
         tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
@@ -125,16 +127,78 @@ class TableIO:
             shutil.rmtree(tmp, ignore_errors=True)
             raise TableFormatError(f"write({name}) failed: {e}") from e
 
-    @staticmethod
-    def _count_from_footers(path: str) -> int:
+    def _iceberg_row_count(self, name: str) -> int | None:
+        """Row count from the LAST snapshot's summary — catalog metadata,
+        no data scan (the parquet-footer analog on this branch)."""
+        try:
+            rows = self.spark.sql(
+                f"SELECT summary FROM {self._ident(name)}.snapshots "
+                f"ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+            if rows:
+                return int(rows[0]["summary"]["total-records"])
+        except Exception:
+            pass
+        return None
+
+    # Footer-walk cap: microseconds per file is MINUTES per stage commit at
+    # millions of files. Above the cap the count is skipped (rows=None in
+    # the commit manifest, never a wrong number) — at that scale the
+    # Iceberg branch's snapshot summary is the right source anyway.
+    MAX_FOOTER_FILES = 20_000
+
+    @classmethod
+    def _count_from_footers(cls, path: str) -> int | None:
         import pyarrow.parquet as pq
 
         n = 0
+        seen = 0
         for root, _dirs, files in os.walk(path):
             for f in files:
                 if f.endswith(".parquet"):
+                    seen += 1
+                    if seen > cls.MAX_FOOTER_FILES:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "row-count skipped for %s: > %d part files",
+                            path, cls.MAX_FOOTER_FILES,
+                        )
+                        return None
                     n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
         return n
+
+    # ---- zero-copy registration --------------------------------------------
+    def register(self, name: str, path: str) -> dict:
+        """Register ALREADY-COMMITTED data as table ``name`` without
+        copying it: the table dir holds only a commit manifest whose
+        ``external_path`` points at the data. ``read`` resolves the
+        pointer; ``drop`` removes only the pointer. This is the 100 TB
+        ingestion mode — Pipeline.run(source_path=...) registers the
+        corpus instead of rewriting it through a full copy + shuffle
+        (fixture mode keeps the copying source_df path)."""
+        if self.use_iceberg:
+            raise TableFormatError(
+                "register() is the parquet-backend zero-copy mode; on "
+                "Iceberg point the catalog at the existing table instead"
+            )
+        if not os.path.isdir(path):
+            raise TableFormatError(f"register({name}): no directory {path}")
+        final = self._path(name)
+        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        os.makedirs(tmp)
+        commit = {"table": name, "ts": time.time(),
+                  "external_path": os.path.abspath(path)}
+        with open(os.path.join(tmp, _COMMIT), "w") as f:
+            json.dump(commit, f)
+        aside = None
+        if os.path.exists(final):
+            aside = final + ".old-" + uuid.uuid4().hex[:8]
+            os.rename(final, aside)
+        os.rename(tmp, final)
+        if aside is not None:
+            shutil.rmtree(aside, ignore_errors=True)
+        return commit
 
     # ---- read --------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
@@ -142,6 +206,9 @@ class TableIO:
             return self.spark.table(self._ident(name))
         if not self.exists(name):
             raise TableFormatError(f"table {name} not committed")
+        meta = self.commit_meta(name) or {}
+        if meta.get("external_path"):
+            return self.spark.read.parquet(meta["external_path"])
         return self.spark.read.parquet(self._path(name))
 
     def exists(self, name: str) -> bool:

@@ -46,6 +46,90 @@ def test_incremental_extracts_only_new_files(spark, tmp_path):
     assert not executed["triples_raw"]
 
 
+def test_incremental_ledger_zero_extractor_invocations(spark, tmp_path):
+    """The done-file ledger: an unchanged corpus re-runs with ZERO
+    extractor invocations — including files whose extraction yielded zero
+    triples, which the pre-ledger anti-join on triples_raw re-extracted on
+    every incremental run."""
+    cfg = JobConfig(warehouse=str(tmp_path / "whl"), run_id="led")
+    pipe = Pipeline(spark, cfg)
+    base = generate_source_df(spark, SynthConfig(n_files=40), partitions=4)
+    prose = spark.createDataFrame(
+        [("orgx/repo", "docs/notes.txt", "c9", "python",
+          "plain prose, no code symbols here")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    corpus = base.unionByName(prose)
+    pipe.run(source_df=corpus)
+
+    # zero-triple file: in the ledger, absent from triples_raw
+    done = pipe.io.read("extract_done")
+    n_done0 = done.count()
+    assert done.filter(F.col("path") == "docs/notes.txt").count() == 1
+    assert (pipe.io.read("triples_raw")
+            .filter(F.col("path") == "docs/notes.txt").count() == 0)
+    m0 = pipe.io.read("extract_metrics").count()
+    assert m0 > 0
+
+    executed = pipe.run(source_df=corpus, incremental=True)
+    assert not executed["triples_raw"]
+    rec = [r for r in pipe.lineage()
+           if r["stage"] == "triples_raw_incremental"][-1]
+    assert rec["n_todo"] == 0 and rec["new_rows"] == 0
+    # zero extractor invocations: the per-batch __metric__ rows are the
+    # invocation counter, and none were added
+    assert pipe.io.read("extract_metrics").count() == m0
+
+    # a genuinely new file extracts, advances the ledger AND the metrics
+    extra = spark.createDataFrame(
+        [("orgy/repo", "src/new.py", "c1", "python", "def newfn(ctx):")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    executed = pipe.run(source_df=corpus.unionByName(extra), incremental=True)
+    assert executed["triples_raw"]
+    assert pipe.io.read("extract_metrics").count() > m0
+    assert pipe.io.read("extract_done").count() == n_done0 + 1
+
+
+def test_zero_copy_source_registration(spark, tmp_path):
+    """run(source_path=...) must not rewrite the corpus: the source table
+    is a pointer manifest, the external data is untouched, and the final
+    outputs equal the copying mode's."""
+    import os
+
+    src = generate_source_df(spark, SynthConfig(n_files=60), partitions=4)
+    ext_dir = str(tmp_path / "external_corpus")
+    src.write.partitionBy("lang").parquet(ext_dir)
+    before = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(ext_dir) for f in fs
+    )
+
+    cfg = JobConfig(warehouse=str(tmp_path / "whz"), run_id="zc")
+    pipe = Pipeline(spark, cfg)
+    executed = pipe.run(source_path=ext_dir)
+    assert executed["materialize"]
+
+    # no full-corpus write: the source table dir holds ONLY the pointer
+    src_dir = os.path.join(cfg.warehouse, cfg.source_table)
+    assert os.listdir(src_dir) == ["_gondar_commit.json"]
+    # the external data was read, never written
+    after = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(ext_dir) for f in fs
+    )
+    assert after == before
+
+    # outputs equal the copying mode bit-for-bit
+    cfg2 = JobConfig(warehouse=str(tmp_path / "whc"), run_id="cp")
+    pipe2 = Pipeline(spark, cfg2)
+    pipe2.run(source_df=src)
+    for t in ("triples", "entities", "aliases"):
+        a, b = pipe.io.read(t), pipe2.io.read(t)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # resume: a second zero-copy run skips every stage
+    assert not any(pipe.run(source_path=ext_dir).values())
+
+
 def test_quarantine_rows_on_extractor_failure():
     """A poisoned unit (non-string) exhausts retries and lands in
     quarantine with provenance — never a silent drop (A15)."""
