@@ -525,6 +525,42 @@ def q_asof_event_lookup(spark, sf_dir):
     )
 
 
+def q_asof_event_lookup_bucketed(spark, sf_dir):
+    """Same as-of semantics through the SKEW-RESISTANT two-phase path
+    (asof.asof_join_bucketed: per-(key, time-bucket) windows + carry-in on
+    the tiny bucket summary) — shares asof_event_lookup's DuckDB ASOF JOIN
+    oracle, so the parallel-prefix rewrite is hash-verified, not just
+    parity-tested."""
+    from gondar_spark.operators.asof import asof_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    bw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    build = (
+        ev.filter(F.col("event_id") % 97 != 0)
+        .withColumn("_rn", F.row_number().over(bw))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "ts",
+            F.col("event_id").alias("b_event_id"),
+            round_half_up(F.col("value"), 4).alias("b_value"),
+        )
+    )
+    out = asof_join_bucketed(
+        probes, build, "user_id", "ts", ["b_event_id", "b_value"],
+        bucket_width_s=6 * 3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("asof_b_event_id").alias("match_event_id"),
+        F.col("asof_b_value").alias("match_value"),
+    )
+
+
 # --- banded range join: same-key pairs within a 1-hour lookback ---------------
 def q_range_join_recent(spark, sf_dir):
     from gondar_spark.operators.asof import range_join
@@ -730,6 +766,38 @@ def q_events_topk_users(spark, sf_dir):
     return top_k_per_group(
         per_user, "event_type", "total_value", 5, tiebreak="user_id"
     ).select("event_type", "user_id", "total_value", "rank")
+
+
+def q_events_topk_users_bucketed(spark, sf_dir):
+    """Same per-group top-k through the SKEW-RESISTANT two-phase path
+    (pre_buckets: per-(group, hash-bucket) partial top-k, then a final
+    rank over <= n*k survivors) — shares events_topk_users' oracle, so
+    bucket-decomposability is hash-verified."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        round_half_up(F.sum("value"), 4).alias("total_value")
+    )
+    return top_k_per_group(
+        per_user, "event_type", "total_value", 5, tiebreak="user_id",
+        pre_buckets=8,
+    ).select("event_type", "user_id", "total_value", "rank")
+
+
+def q_kmeans_centroids(spark, sf_dir):
+    """The TRAINED k-means centroids themselves, exploded to
+    (cell, dim, val) rows — a direct hash-exact check of distributed Lloyd
+    training against the oracle's unrolled-CTE re-derivation (the integer-
+    quantized sums make the two engines agree bit-for-bit; val is rounded
+    half-up to 6dp only for canonical formatting)."""
+    import math
+
+    cents = _trained_centroids(spark, sf_dir)
+    rows = [
+        (c, d, math.floor(v * 1e6 + 0.5) / 1e6)
+        for c, vec in enumerate(cents)
+        for d, v in enumerate(vec, start=1)
+    ]
+    return spark.createDataFrame(rows, "cell bigint, dim bigint, val double")
 
 
 def q_events_hourly(spark, sf_dir):
@@ -1083,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "nation_volume": q_nation_volume,
         "events_topk_users": q_events_topk_users,
+        "events_topk_users_bucketed": q_events_topk_users_bucketed,
+        "kmeans_centroids": q_kmeans_centroids,
         "events_hourly": q_events_hourly,
         "salted_user_counts": q_salted_user_counts,
         "edit_similarity_nations": q_edit_similarity_nations,
@@ -1109,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_events": q_streaming_hourly_events,
         "streaming_repo_totals": q_streaming_repo_totals,
         "asof_event_lookup": q_asof_event_lookup,
+        "asof_event_lookup_bucketed": q_asof_event_lookup_bucketed,
         "range_join_recent": q_range_join_recent,
     }
 
@@ -1562,7 +1633,8 @@ FROM ivf JOIN exact USING (vec_id)"""
 
 
 _XML_ELIGIBLE = """
-    SELECT doc_id, lang, source,
+    SELECT doc_id, lang,
+           regexp_replace(source, '[^a-zA-Z0-9 .,]', '', 'g') AS source,
            regexp_replace(text, '[^a-zA-Z0-9 .,]', '', 'g') AS clean
     FROM documents
     WHERE doc_id < 200
@@ -1587,7 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " END AS lang_pred"
     )
-    return {
+    return _with_rewrite_aliases({
         "scan_pushdown_topk": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE lang = 'en' AND n_chars > 300
@@ -2148,4 +2220,21 @@ FROM triples GROUP BY repo""",
                    (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-    }
+        # trained centroids, re-derived by the oracle's own unrolled
+        # k-means (the strongest check of the training loop)
+        "kmeans_centroids": f"""
+WITH {_kmeans_cents_ctes()}
+SELECT cell::BIGINT AS cell, d.dim::BIGINT AS dim,
+       (floor(c[d.dim] * 1000000.0 + 0.5) / 1000000.0) AS val
+FROM cents CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM + 1})) AS dim) d
+        """,
+    })
+
+
+# The skew-resistant rewrites are semantically IDENTICAL operators, so they
+# share their plain counterparts' oracles — the rewrite itself is what gets
+# hash-verified.
+def _with_rewrite_aliases(oracles: dict[str, str]) -> dict[str, str]:
+    oracles["asof_event_lookup_bucketed"] = oracles["asof_event_lookup"]
+    oracles["events_topk_users_bucketed"] = oracles["events_topk_users"]
+    return oracles

@@ -211,7 +211,9 @@ def bench_scaling_10x(spark, sf_dir: str) -> dict:
 
     qs = entrymod.queries()
     out = {}
+    from gondar_spark.operators import dedup as dedup_ops
     for name in SCALING_QUERIES:
+        dedup_ops.release_caches()
         spark.catalog.clearCache()  # no cross-probe cache bleed
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
@@ -255,10 +257,14 @@ def main() -> None:
         for t in ("documents", "embeddings", "events", "lineitem", "orders",
                   "customer", "supplier", "nation", "region", "part"):
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        from gondar_spark.operators import dedup as dedup_ops
         for name in BENCH_QUERIES:
             t0 = time.time()
             _force(qs[name](spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
+            # operator-owned persists are released per query — the bench
+            # session is the "long-lived session" ADVICE warned about
+            dedup_ops.release_caches()
 
     extraction = bench_extraction(spark, n_files)
     timings["kg_extraction"] = extraction["sec"]

@@ -17,10 +17,12 @@ engine-portable; see __spark_entry__.py).
 
 Cache ownership: minhash_lsh_pairs / ngram_jaccard_pairs / simhash_dedup
 persist their md5-heavy intermediate (shingles / fingerprints) because it
-feeds 2-4 DAG branches; the cached data lives until evicted (LRU,
-MEMORY_AND_DISK — degrades gracefully) or the CALLER drops it. Long-lived
-sessions issuing many dedup queries should spark.catalog.clearCache()
-between logical jobs (bench.py and tools/check_oracles.py do).
+feeds 2-4 DAG branches. The persist cannot be released inside the
+operator (the returned plan still reads it), so every persist is TRACKED:
+call ``release_caches()`` after consuming a result — bench.py,
+tools/check_oracles.py and Pipeline stage writes do — and a long-lived
+session never accumulates cached shingle data. Untracked fallback is LRU
+eviction (MEMORY_AND_DISK — degrades, never fails).
 """
 
 from __future__ import annotations
@@ -30,6 +32,25 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import round_half_up
 from ..functions.textstats import tokens_col
+
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate a dedup operator cached since the last
+    call. Safe while no returned plan is still being consumed. Returns the
+    number released."""
+    n = 0
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+        n += 1
+    return n
 
 
 def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -109,7 +130,7 @@ def minhash_lsh_pairs(
     rows = n_hashes // bands
     # base feeds the signature AND both sides of the verify join — persist
     # so shingling+hashing runs once (see ngram_jaccard_pairs note)
-    base = shingled(df, col, id_col, shingle_n).persist()
+    base = _tracked_persist(shingled(df, col, id_col, shingle_n))
     sig = base.select("id", *_minhash_cols(F.col("sh"), n_hashes, seed))
     band_arr = F.array(
         *[
@@ -183,10 +204,19 @@ def ngram_jaccard_pairs(
     pairs whose ENTIRE overlap is hot shingles are missed (documented
     approximation, mirrors blocking.candidate_pairs' max_block_size).
     """
+    if prefix_filter and max_posting is not None:
+        # never-silent cap policy: the prefix-filter path ignores
+        # max_posting entirely, so accepting both would drop the caller's
+        # cap without a trace
+        raise ValueError(
+            "max_posting applies only to the raw inverted-index path; "
+            "pass prefix_filter=False with it (the prefix filter already "
+            "bounds hot postings losslessly)"
+        )
     # the shingle arrays (md5-heavy) feed 3-4 DAG branches (index, sizes,
     # and both sides of the verify join) — persist so the hashing runs
     # once, not once per branch (measured 1.5-2x on the sf0.1 corpus)
-    base = shingled(df, col, id_col, shingle_n).persist()
+    base = _tracked_persist(shingled(df, col, id_col, shingle_n))
     sizes = base.select("id", F.size("sh").alias("sz"))
     inv = base.select("id", F.explode("sh").alias("s"))
 
@@ -356,7 +386,7 @@ def simhash_dedup(
     # the 60/64 bit-vote aggregates are the expensive part and feed BOTH
     # sides of the band self-join — persist the fingerprints so the votes
     # run once per row, not twice
-    fp = hashed_df.select("id", sim.alias("simhash")).persist()
+    fp = _tracked_persist(hashed_df.select("id", sim.alias("simhash")))
     bands = fp.select(
         "id",
         "simhash",

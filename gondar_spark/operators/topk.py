@@ -24,19 +24,49 @@ def top_k_by_count(df: DataFrame, key: str, k: int = 10) -> DataFrame:
 
 
 def top_k_per_group(
-    df: DataFrame, group: str, order: str, k: int, tiebreak: str | None = None
+    df: DataFrame,
+    group: str,
+    order: str,
+    k: int,
+    tiebreak: str | None = None,
+    pre_buckets: int | None = None,
 ) -> DataFrame:
     """row_number window per group — the scalable per-group top-k.
 
-    `tiebreak` (ascending) makes ranks at the k boundary deterministic when
-    `order` values collide. WARNING: the default (the group key) is
-    CONSTANT within each window partition and therefore adds no ordering —
-    it exists only for callers whose (group, order) pairs are unique.
-    Whenever ties are possible, pass an id-like column (as
-    q_events_topk_users does with user_id) or boundary ranks are
-    partition-layout dependent.
+    `tiebreak` (ascending) makes ranks at the k boundary deterministic
+    when `order` values collide; pass an id-like column when one exists
+    (as q_events_topk_users does with user_id). When omitted, ALL
+    remaining columns ascend as the tiebreak — a deterministic total
+    order regardless of partition layout (the old default, the group key,
+    was constant within the window and ordered nothing).
+
+    SKEW: Window.partitionBy(group) funnels each group through one task —
+    AQE splits skewed JOIN partitions, not window partitions, so a
+    mega-group is a straggler. `pre_buckets=n` bounds it with a two-phase
+    top-k: a deterministic hash salt splits each group into n buckets,
+    phase 1 takes top-k per (group, bucket), phase 2 ranks the surviving
+    <= n*k rows per group. Identical results (top-k is bucket-decomposable:
+    every global top-k row is top-k in its bucket), mega-group cost drops
+    from |group| to |group|/n + n*k.
     """
-    order_cols = [F.desc(order), F.asc(tiebreak if tiebreak else group)]
+    if tiebreak:
+        tiebreak_cols = [F.asc(tiebreak)]
+    else:
+        tiebreak_cols = [
+            F.asc(c) for c in df.columns if c not in (group, order)
+        ]
+    order_cols = [F.desc(order), *tiebreak_cols]
+    if pre_buckets:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(pre_buckets)
+        )
+        w1 = Window.partitionBy(group, "_tkb").orderBy(*order_cols)
+        df = (
+            df.withColumn("_tkb", salt)
+            .withColumn("_prank", F.row_number().over(w1))
+            .filter(F.col("_prank") <= k)
+            .drop("_tkb", "_prank")
+        )
     w = Window.partitionBy(group).orderBy(*order_cols)
     return (
         df.withColumn("rank", F.row_number().over(w))

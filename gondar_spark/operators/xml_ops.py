@@ -49,10 +49,15 @@ def with_article_xml(docs: DataFrame) -> DataFrame:
         "article_xml",
         F.concat(
             F.lit('<article article-type="research"><front>'),
-            F.lit('<article-title lang="'), F.col("lang"), F.lit('">'),
+            # lang/source interpolate into markup, so they pass through the
+            # same _clean as text — a raw '&', '<' or '"' in a source value
+            # would otherwise produce malformed XML that silently nulls
+            # every xpath on the row (the oracle mirrors this transform)
+            F.lit('<article-title lang="'), _clean(F.col("lang")), F.lit('">'),
             F.lit("Doc "), F.col("doc_id").cast("string"),
             F.lit("</article-title>"),
-            F.lit("<journal-title>"), F.coalesce(F.col("source"), F.lit("")),
+            F.lit("<journal-title>"),
+            F.coalesce(_clean(F.col("source")), F.lit("")),
             F.lit("</journal-title>"),
             F.lit('<article-id pub-id-type="doi">10.5555/'),
             F.col("doc_id").cast("string"), F.lit("</article-id>"),

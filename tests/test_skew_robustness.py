@@ -71,3 +71,69 @@ def test_two_phase_count_exact_under_skew(spark):
              df.groupBy("k").agg(F.count("*").cast("long").alias("cnt")).collect()}
     assert salted == plain
     assert salted["mega"] == 60_000
+
+
+def test_top_k_per_group_two_phase_parity_under_hot_group(spark):
+    """pre_buckets splits a mega-group (50% of rows) into bounded windows;
+    results must equal the single-window path exactly."""
+    from pyspark.sql import functions as F
+
+    from gondar_spark.operators.topk import top_k_per_group
+
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("mega"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+        .alias("grp"),
+        (F.col("id") * 37 % 1000).cast("double").alias("score"),
+        F.col("id").alias("rid"),
+    )
+    plain = top_k_per_group(df, "grp", "score", 10, tiebreak="rid")
+    two = top_k_per_group(df, "grp", "score", 10, tiebreak="rid",
+                          pre_buckets=8)
+    assert plain.exceptAll(two).count() == 0
+    assert two.exceptAll(plain).count() == 0
+
+
+def test_top_k_per_group_default_tiebreak_is_total_order(spark):
+    """With no explicit tiebreak, ALL remaining columns order the window —
+    the boundary rank is layout-independent (the old default ordered by
+    the constant group key, i.e. not at all)."""
+    from pyspark.sql import functions as F
+
+    from gondar_spark.operators.topk import top_k_per_group
+
+    rows = [("g", 1.0, f"id{i:02d}") for i in range(20)]
+    df1 = spark.createDataFrame(rows, ["grp", "score", "rid"])
+    df2 = spark.createDataFrame(list(reversed(rows)),
+                                ["grp", "score", "rid"]).repartition(13)
+    got1 = {r["rid"] for r in top_k_per_group(df1, "grp", "score", 5).collect()}
+    got2 = {r["rid"] for r in top_k_per_group(df2, "grp", "score", 5).collect()}
+    assert got1 == got2 == {f"id{i:02d}" for i in range(5)}
+
+
+def test_ngram_rejects_conflicting_cap_options(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gondar_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, max_posting=100)  # prefix_filter defaults True
+    # explicit raw path accepts the cap
+    ngram_jaccard_pairs(df, prefix_filter=False, max_posting=100)
+
+
+def test_dedup_release_caches_unpersists(spark):
+    from gondar_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} shared words here") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    dedup.release_caches()  # drain any leftovers from other tests
+    dedup.minhash_lsh_pairs(df).collect()
+    dedup.ngram_jaccard_pairs(df).collect()
+    assert len(dedup._LIVE_CACHES) == 2
+    assert dedup.release_caches() == 2
+    assert not dedup._LIVE_CACHES

@@ -105,3 +105,73 @@ def test_range_join_no_duplicate_pairs_across_buckets(spark):
     per_pair = out.groupBy("pid", "bid_b").count().filter(F.col("count") > 1)
     assert per_pair.count() == 0
     assert out.count() == 6  # every probe sees both build rows once
+
+
+def test_asof_join_bucketed_parity_random_and_hotkey(spark):
+    """asof_join_bucketed == asof_join on (a) a mixed fixture and (b) a
+    hot-key fixture where ONE key carries 50% of all rows — the case the
+    plain per-key window funnels through a single task."""
+    from gondar_spark.operators.asof import asof_join_bucketed
+
+    base = 1_700_000_000
+    # deterministic pseudo-random-ish fixture: 6 keys, scattered ts
+    probes = spark.range(600).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 5).cast("string")))
+        .alias("k"),
+        F.timestamp_seconds(base + (F.col("id") * 97) % 50_000).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    build = spark.range(400).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 5).cast("string")))
+        .alias("k"),
+        F.timestamp_seconds(base + (F.col("id") * 131) % 50_000).alias("ts"),
+        F.col("id").alias("val"),
+    )
+    for inner in (True, False):
+        a = asof_join(probes, build, "k", "ts", ["val"], inner=inner)
+        b = asof_join_bucketed(
+            probes, build, "k", "ts", ["val"],
+            bucket_width_s=600, inner=inner,
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        assert a.count() == b.count()
+
+
+def test_asof_join_bucketed_carry_across_empty_buckets(spark):
+    """A probe whose bucket (and several preceding buckets) contain no
+    build rows must still match the last build row far earlier."""
+    from gondar_spark.operators.asof import asof_join_bucketed
+
+    base = 1_700_000_000
+    probes = spark.createDataFrame(
+        [("k", base + 10_000, "late_probe")], ["k", "epoch", "pid"]
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "pid")
+    build = spark.createDataFrame(
+        [("k", base + 5, 42)], ["k", "epoch", "val"]
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "val")
+    out = asof_join_bucketed(
+        probes, build, "k", "ts", ["val"], bucket_width_s=60
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_val"] == 42
+
+
+def test_asof_join_bucketed_equal_ts_inclusive(spark):
+    """Build row at exactly the probe ts matches (inclusive), same as
+    asof_join / DuckDB ASOF JOIN — including at a bucket boundary."""
+    from gondar_spark.operators.asof import asof_join_bucketed
+
+    base = 1_700_000_000
+    width = 60
+    boundary = base - base % width + width  # exact bucket edge
+    probes = spark.createDataFrame(
+        [("k", boundary, "p")], ["k", "epoch", "pid"]
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "pid")
+    build = spark.createDataFrame(
+        [("k", boundary, 7), ("k", boundary - 1, 6)], ["k", "epoch", "val"]
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "val")
+    out = asof_join_bucketed(
+        probes, build, "k", "ts", ["val"], bucket_width_s=width
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_val"] == 7

@@ -64,3 +64,21 @@ def test_strip_attrs_removes_all_attributes(spark):
     assert "<sec>" in x and "<table-wrap>" in x
     n = df.select(F.size(F.xpath(F.col("x"), F.lit("//body/sec/text()"))).alias("n"))
     assert n.first()["n"] == 3
+
+
+def test_hostile_source_values_stay_well_formed(spark):
+    """A source value containing &, < or \" must not produce malformed XML
+    (malformed XML makes every xpath on the row silently return empty —
+    the divergence ADVICE r2 flagged)."""
+    from pyspark.sql import functions as F
+
+    from gondar_spark.operators.xml_ops import with_article_xml, xml_meta
+
+    docs = spark.createDataFrame(
+        [(1, "en", 'Jour & <nal> "Q"', "some body text here for sections ok")],
+        ["doc_id", "lang", "source", "text"],
+    )
+    out = xml_meta(with_article_xml(docs)).collect()[0]
+    assert out["title"] == "Doc 1"          # xpath worked: XML well-formed
+    assert out["journal"] == "Jour  nal Q"  # markup chars stripped, not kept
+    assert out["doi"] == "10.5555/1"

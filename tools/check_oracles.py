@@ -56,6 +56,8 @@ def main():
         if only and name not in only:
             continue
         try:
+            from gondar_spark.operators.dedup import release_caches
+            release_caches()
             spark.catalog.clearCache()  # operator-owned persists: see
             # gondar_spark/operators/dedup.py cache-ownership note
             sdf = fn(spark, sf_dir)
