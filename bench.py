@@ -212,16 +212,25 @@ def bench_scaling_10x(spark, sf_dir: str) -> dict:
     qs = entrymod.queries()
     out = {}
     from gondar_spark.operators import dedup as dedup_ops
+
+    # best-of-N per point: single-shot probes on this shared host swing
+    # several-x between runs (pagecache / AQE warm state), which turns a
+    # ~2x true ratio into anything from 1 to 10; the min of N=2 is stable
+    reps = int(os.environ.get("GONDAR_BENCH_SCALE_REPS", "2"))
+
+    def probe(name, d):
+        best = float("inf")
+        for _ in range(reps):
+            dedup_ops.release_caches()
+            spark.catalog.clearCache()  # no cross-probe cache bleed
+            t0 = time.time()
+            _force(qs[name](spark, d))
+            best = min(best, time.time() - t0)
+        return best
+
     for name in SCALING_QUERIES:
-        dedup_ops.release_caches()
-        spark.catalog.clearCache()  # no cross-probe cache bleed
-        t0 = time.time()
-        _force(qs[name](spark, sf_dir))
-        t1 = time.time() - t0
-        spark.catalog.clearCache()
-        t0 = time.time()
-        _force(qs[name](spark, tmp))
-        t10 = time.time() - t0
+        t1 = probe(name, sf_dir)
+        t10 = probe(name, tmp)
         out[name] = {
             "t_sf": round(t1, 3),
             "t_10x": round(t10, 3),
@@ -230,6 +239,125 @@ def bench_scaling_10x(spark, sf_dir: str) -> dict:
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _docs_10x(docs):
+    """10 replicas with disjoint shingle structure (every token tagged —
+    see bench_scaling_10x's note on why suffix-only tags measure a
+    quadratically-near-dup corpus instead of linear growth)."""
+    from pyspark.sql import functions as F
+
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + 10_000_000 * i).alias("doc_id"),
+            (F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}$1") if i
+             else F.col("text")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for i in range(10)
+    ]
+    out = replicas[0]
+    for r in replicas[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def build_sf1_dir(spark, sf_dir: str) -> str:
+    """Materialize a FULL synthetic sf1 (10x sf0.1) table set: fact tables
+    replicate with offset keys (consistent FKs), dimension tables copy
+    as-is, document text is token-tagged per replica, embeddings get a
+    direction-changing per-replica shift (a pure scale would be
+    cosine-identical). Deterministic — no randomness."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="gondar_sf1_")
+
+    def mat(name, df, parts=32):
+        df.repartition(parts).write.mode("overwrite").parquet(
+            f"{tmp}/{name}.parquet")
+
+    def rep10(df, offsets: dict, transform=None):
+        outs = []
+        for i in range(10):
+            r = df
+            for col, step in offsets.items():
+                r = r.withColumn(col, F.col(col) + F.lit(step * i))
+            if transform is not None:
+                r = transform(r, i)
+            outs.append(r)
+        big = outs[0]
+        for r in outs[1:]:
+            big = big.unionByName(r)
+        return big
+
+    mat("documents", _docs_10x(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mat("embeddings", rep10(
+        emb, {"vec_id": 1_000_000},
+        transform=lambda df, i: df.withColumn(
+            "embedding",
+            F.transform("embedding",
+                        lambda x: (x + F.lit(0.01 * i)).cast("float")),
+        ),
+    ))
+    mat("events", rep10(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        {"event_id": 10_000_000, "user_id": 1_000_000},
+    ))
+    mat("orders", rep10(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        {"o_orderkey": 100_000_000},
+    ))
+    mat("lineitem", rep10(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        {"l_orderkey": 100_000_000},
+    ))
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        mat(dim, spark.read.parquet(f"{sf_dir}/{dim}.parquet"), parts=4)
+    return tmp
+
+
+def bench_sf1(spark, sf_dir: str) -> dict:
+    """The full headline query set at sf1 (10x data): per-query wall and
+    sf0.1->sf1 ratio, BOTH measured warm inside this section (the headline
+    timings are first-execution numbers and include codegen/JIT — dividing
+    warm sf1 by cold sf0.1 would understate every ratio ~2-5x). A ratio
+    near 10 is linear; near 1 means the query's filter prunes to a fixed-
+    size working set (scan_pushdown behavior — correct, not suspicious);
+    >> 10 flags a super-linear term. Headline pipeline/CC scaling lives in
+    scaling_10x (they use their own corpora)."""
+    import shutil
+
+    from gondar_spark.operators import dedup as dedup_ops
+
+    t0 = time.time()
+    tmp = build_sf1_dir(spark, sf_dir)
+    build_s = round(time.time() - t0, 3)
+    qs = entrymod.queries()
+    out = {"corpus_build_s": build_s}
+    try:
+        for name in BENCH_QUERIES:
+            dedup_ops.release_caches()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            t_sf = round(time.time() - t0, 3)
+            dedup_ops.release_caches()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _force(qs[name](spark, tmp))
+            t_sf1 = round(time.time() - t0, 3)
+            out[name] = {
+                "t_sf": t_sf,
+                "t_sf1": t_sf1,
+                "ratio": round(t_sf1 / t_sf, 2) if t_sf > 0 else None,
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -270,11 +398,31 @@ def main() -> None:
     timings["kg_extraction"] = extraction["sec"]
 
     scaling = None
+    sf1 = None
     if not only_extraction:
         timings["kg_pipeline_full"] = bench_full_pipeline(spark)
         timings["kg_cc_100k"] = bench_cc(spark)
         if os.environ.get("GONDAR_BENCH_SCALING", "1") != "0":
             scaling = bench_scaling_10x(spark, sf_dir)
+            # pipeline + CC data scaling (their own corpora, not sf tables):
+            # 10x files through the full staged job; 10x edges through CC.
+            # BOTH points re-measured here, warm — the headline values are
+            # first-execution numbers (worker fork + JIT) and dividing a
+            # warm 10x by a cold 1x understates the ratio.
+            t1_pipe = bench_full_pipeline(spark, n_files=2_000)
+            t10_pipe = bench_full_pipeline(spark, n_files=20_000)
+            t1_cc = bench_cc(spark, n_edges=100_000)
+            t10_cc = bench_cc(spark, n_edges=1_000_000)
+            scaling["kg_pipeline_full"] = {
+                "t_sf": t1_pipe, "t_10x": t10_pipe,
+                "ratio": round(t10_pipe / t1_pipe, 2),
+            }
+            scaling["kg_cc_100k"] = {
+                "t_sf": t1_cc, "t_10x": t10_cc,
+                "ratio": round(t10_cc / t1_cc, 2),
+            }
+        if os.environ.get("GONDAR_BENCH_SF1", "1") != "0":
+            sf1 = bench_sf1(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -288,6 +436,8 @@ def main() -> None:
     }
     if scaling is not None:
         payload["scaling_10x"] = scaling
+    if sf1 is not None:
+        payload["sf1"] = sf1
     print(json.dumps(payload))
     spark.stop()
 

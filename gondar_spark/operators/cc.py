@@ -12,10 +12,15 @@ measured on a 100k-edge graph: every-round 24s, every-2nd 26s, every-3rd
 82s (re-planning stacked iterations costs far more than checkpointing).
 Convergence is detected by an edge-checksum aggregate fused into the
 checkpoint job via ``observe`` (one action per round), never a collect
-of the edge set. Data scaling measured on the worst-case chain+hub
-topology: 100k edges 13.4s -> 1M edges 36.5s on local[32] — 10x data,
-2.7x wall, because rounds track component diameter, not edge count
-(see BENCH/BASELINE.md).
+of the edge set. Each round's checkpoint blocks are EXPLICITLY freed once
+the next round materializes (DataFrame.unpersist is a no-op on
+localCheckpoint storage and the context cleaner only frees on GC —
+without this, R rounds leave R edge-set copies in executor storage and
+a long session degrades every job after CC); only the final round's
+blocks stay alive because the returned plan reads them. Data scaling
+measured on the worst-case chain+hub topology: 100k edges 13.4s -> 1M
+edges 36.5s on local[32] — 10x data, 2.7x wall, because rounds track
+component diameter, not edge count (see BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -71,14 +76,34 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _checkpoint_with_checksum(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+def _persistent_rdd_ids(sc) -> set[int]:
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    """Free specific checkpoint RDDs by id (non-blocking). The only handle
+    Spark exposes for localCheckpoint storage — DataFrame.unpersist only
+    touches CacheManager entries, which these are not."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
+def _checkpoint_with_checksum(
+    e: DataFrame,
+) -> tuple[DataFrame, tuple[int, int], set[int]]:
     """Materialize one round AND collect its convergence checksum in the
     SAME job via df.observe — halves the per-round action count vs
     localCheckpoint-then-aggregate (measured ~5-10% off the 100k-edge CC
     wall time: the separate checksum scan read cached partitions, so the
-    saving is scheduling overhead, not IO)."""
+    saving is scheduling overhead, not IO). Also returns the new
+    checkpoint's RDD ids so the caller can free the PREVIOUS round."""
     from pyspark.sql import Observation
 
+    sc = e.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
     obs = Observation()
     observed = e.observe(
         obs,
@@ -87,7 +112,7 @@ def _checkpoint_with_checksum(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]
     )
     cp = observed.localCheckpoint()  # eager: runs the job, fires the obs
     got = obs.get
-    return cp, (int(got["n"]), int(got["h"]))
+    return cp, (int(got["n"]), int(got["h"])), _persistent_rdd_ids(sc) - before
 
 
 def connected_components(
@@ -102,14 +127,20 @@ def connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    sc = edges.sparkSession.sparkContext
+    prev_ids: set[int] = set()
     if checkpoint:
-        e, prev = _checkpoint_with_checksum(e)
+        e, prev, prev_ids = _checkpoint_with_checksum(e)
     else:
         prev = _checksum(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e))
         if checkpoint:
-            e, cur = _checkpoint_with_checksum(e)
+            e, cur, new_ids = _checkpoint_with_checksum(e)
+            # the new round is materialized: the previous round's blocks
+            # are dead weight from here on — free them now
+            _unpersist_rdd_ids(sc, prev_ids)
+            prev_ids = new_ids
         else:
             cur = _checksum(e)
         if cur == prev:

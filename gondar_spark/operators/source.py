@@ -23,14 +23,30 @@ def scan_source(
     repos: list[str] | None = None,
     langs: list[str] | None = None,
     limit: int | None = None,
+    offset: int | None = None,
+    order_by: list[str] | None = None,
 ) -> DataFrame:
     """Declarative scan: predicates stay above the scan so Catalyst pushes
     them into the parquet/Iceberg reader (partition pruning on repo/lang
-    when the table is partitioned that way)."""
+    when the table is partitioned that way).
+
+    ``offset`` is the reference's `restart` paging param
+    (entrez.py:95 — which the reference then mislabels as "restart" at
+    entrez.py:156, so its offset is silently ignored; implemented
+    correctly here). Offsets only make sense against a total order, so
+    passing offset without ``order_by`` raises — a distributed scan has
+    no implicit row order to page through."""
     if repos:
         df = df.filter(F.col("repo").isin(repos))
     if langs:
         df = df.filter(F.col("lang").isin(langs))
+    if offset is not None:
+        if not order_by:
+            raise ValueError("offset paging requires order_by (no implicit "
+                             "row order in a distributed scan)")
+        df = df.orderBy(*[F.col(c) for c in order_by]).offset(offset)
+    elif order_by:
+        df = df.orderBy(*[F.col(c) for c in order_by])
     if limit is not None:
         df = df.limit(limit)
     return df

@@ -49,3 +49,21 @@ def test_scan_source_filters_and_limit(spark, tmp_path):
     pruned = scan_source(table, repos=["org0/repo"], langs=["python"])
     plan_filters = pushed_filters(pruned)
     assert any("repo" in f for f in plan_filters), plan_filters
+
+
+def test_scan_source_offset_paging(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gondar_spark.operators.source import scan_source
+
+    df = spark.createDataFrame(
+        [(f"r{i % 3}", f"p{i:02d}", "c", "python", "x") for i in range(20)],
+        ["repo", "path", "commit", "lang", "content"],
+    ).repartition(5)
+    page1 = scan_source(df, limit=5, order_by=["path"])
+    page2 = scan_source(df, limit=5, offset=5, order_by=["path"])
+    assert [r["path"] for r in page1.collect()] == [f"p{i:02d}" for i in range(5)]
+    assert [r["path"] for r in page2.collect()] == [f"p{i:02d}" for i in range(5, 10)]
+    with pytest.raises(ValueError):  # paging without a total order
+        scan_source(df, limit=5, offset=5)

@@ -272,3 +272,24 @@ def test_cc_matches_union_find(spark, edges):
     got = _cc(spark, pairs)
     want = _union_find(pairs)
     assert got == want
+
+
+def test_cc_frees_previous_round_checkpoints(spark):
+    """After CC converges, at most ONE round's checkpoint blocks remain
+    in executor storage (the final round, which the returned plan reads)
+    — earlier rounds are freed explicitly, not left to GC."""
+    from gondar_spark.operators.cc import connected_components
+
+    sc = spark.sparkContext
+
+    def persistent():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persistent()
+    # chain topology -> several rounds
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(300)]
+    df = spark.createDataFrame(edges, ["norm_a", "norm_b"])
+    labels = connected_components(df, max_iter=30)
+    assert labels.count() == 301
+    leftover = persistent() - before
+    assert len(leftover) <= 1, leftover
