@@ -417,6 +417,29 @@ def q_ivf_recall(spark, sf_dir):
 
 
 # --- B14 diagnostic: global hot-key top-k (TakeOrderedAndProject) ---------------
+def q_ivf_topk_indexed(spark, sf_dir):
+    """ivf_topk against a MATERIALIZED index (cells partitioned on disk —
+    the build-once/query-many serving path; the probe scan prunes to
+    n_probe cell partitions, PartitionFilters-asserted in tests). Shares
+    ivf_topk's oracle: identical trained centroids -> identical result."""
+    import tempfile
+
+    key = ("ivf_index", sf_dir)
+    if key not in _CENTROID_CACHE:
+        path = tempfile.mkdtemp(prefix="gondar_ivf_idx_")
+        emb = _t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") != _QUERY_VEC_ID
+        )
+        similarity.build_ivf_index(
+            emb, _trained_centroids(spark, sf_dir), path
+        )
+        _CENTROID_CACHE[key] = path
+    return similarity.ivf_topk_indexed(
+        spark, _CENTROID_CACHE[key], _query_vec(spark, sf_dir),
+        k=10, n_probe=_IVF_NPROBE,
+    )
+
+
 def q_topk_hot_entities(spark, sf_dir):
     from gondar_spark.operators.topk import top_k_by_count
 
@@ -1138,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "knn_per_probe": q_knn_per_probe,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
         "ivf_recall": q_ivf_recall,
         "topk_hot_entities": q_topk_hot_entities,
         "token_stats": q_token_stats,
@@ -2237,4 +2261,5 @@ FROM cents CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM + 1})) AS dim) d
 def _with_rewrite_aliases(oracles: dict[str, str]) -> dict[str, str]:
     oracles["asof_event_lookup_bucketed"] = oracles["asof_event_lookup"]
     oracles["events_topk_users_bucketed"] = oracles["events_topk_users"]
+    oracles["ivf_topk_indexed"] = oracles["ivf_topk"]
     return oracles

@@ -19,10 +19,11 @@ Cache ownership: minhash_lsh_pairs / ngram_jaccard_pairs / simhash_dedup
 persist their md5-heavy intermediate (shingles / fingerprints) because it
 feeds 2-4 DAG branches. The persist cannot be released inside the
 operator (the returned plan still reads it), so every persist is TRACKED:
-call ``release_caches()`` after consuming a result — bench.py,
-tools/check_oracles.py and Pipeline stage writes do — and a long-lived
-session never accumulates cached shingle data. Untracked fallback is LRU
-eviction (MEMORY_AND_DISK — degrades, never fails).
+call ``release_caches()`` after consuming a result — bench.py and
+tools/check_oracles.py do between queries (the Pipeline's own stage
+persists are released separately via _run_stage_lazy's finally) — and a
+long-lived session never accumulates cached shingle data. Untracked
+fallback is LRU eviction (MEMORY_AND_DISK — degrades, never fails).
 """
 
 from __future__ import annotations

@@ -40,7 +40,12 @@ def _norm(a):
 
 
 def cosine_col(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; 0.0 when either side has zero norm (ANSI mode
+    would otherwise DIVIDE_BY_ZERO on an all-zero vector — found by the
+    kmeans fuzz test; the driver-side mirrors define the same 0.0)."""
+    return F.coalesce(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)), F.lit(0.0)
+    )
 
 
 def cosine_topk(
@@ -323,6 +328,66 @@ def ivf_topk(
     probe_cells = order[:n_probe]
     celled = assign_cells(data, centroids, vec_col, n_probe=1)
     cand = celled.filter(F.col("cell").isin(probe_cells))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: vectors written ONCE, partitioned by
+    cell (`.../cells/cell=<i>/...`), centroids alongside. This is the
+    build-once/query-many serving shape: a top-k probe reads ONLY its
+    n_probe cell directories — partition PRUNING at the file listing, so
+    query IO scales with k/n_cells of the corpus, not the corpus. At
+    100 TB the cells dir is the ANN shard layout."""
+    cents = assign_cells(df, centroids, vec_col=vec_col, n_probe=1)
+    (cents.select("cell", id_col, F.col(vec_col).cast("array<double>")
+                  .alias(vec_col))
+     .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells"))
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a materialized IVF index (build_ivf_index): pick the
+    n_probe nearest cells driver-side from the tiny centroids table, then
+    scan ONLY those cell partitions (`cell IN (...)` prunes at the parquet
+    listing — verify with .explain(): PartitionFilters, not a full scan).
+    Results are identical to ivf_topk over the same centroids (shared
+    oracle)."""
+    import math
+
+    cents = {
+        r["cell"]: list(r["cvec"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        raw = dot / (na * nb) if na and nb else 0.0
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    order = sorted(cents, key=lambda c: (-cos(query_vec, cents[c]), c))
+    probe_cells = [int(c) for c in order[:n_probe]]
+    cand = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probe_cells)
+    )
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 

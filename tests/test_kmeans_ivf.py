@@ -136,3 +136,36 @@ def test_kmeans_train_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         kmeans_train(empty, k=2, n_iter=1)
+
+
+def test_ivf_index_build_query_parity_and_pruning(spark, tmp_path):
+    """Materialized-index top-k == in-memory ivf_topk over the same
+    centroids, and the probe scan PRUNES to the probed cell partitions
+    (PartitionFilters on cell — file-listing pruning, not a full scan
+    plus filter)."""
+    from gondar_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    df = _clustered(spark, n=90)
+    cents = kmeans_train(df, k=3, n_iter=2)
+    path = str(tmp_path / "idx")
+    build_ivf_index(df, cents, path)
+
+    import os
+
+    cell_dirs = sorted(
+        d for d in os.listdir(path + "/cells") if d.startswith("cell=")
+    )
+    assert cell_dirs == ["cell=0", "cell=1", "cell=2"]
+
+    q = [1.0, 0.0, 0.0]
+    mem = ivf_topk(df, q, cents, k=5, n_probe=2)
+    idx = ivf_topk_indexed(spark, path, q, k=5, n_probe=2)
+    assert [r.asDict() for r in mem.collect()] == [
+        r.asDict() for r in idx.collect()
+    ]
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan

@@ -158,3 +158,29 @@ def test_md5_60_hash_matches_duckdb(tokens):
         for t in tokens
     ]
     assert got == py
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(min_value=-2.0, max_value=2.0,
+                           allow_nan=False, allow_infinity=False,
+                           width=32),
+                 min_size=4, max_size=4),
+        min_size=3, max_size=12, unique_by=tuple,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_kmeans_train_matches_python_mirror_on_fuzz(spark, vecs, k):
+    """Property: distributed Lloyd == the pure-Python mirror BIT-FOR-BIT
+    on arbitrary float inputs (the integer-quantized-sum design removes
+    every ordering hazard, so no tolerance is needed — or allowed)."""
+    from tests.test_kmeans_ivf import _py_kmeans
+
+    from gondar_spark.operators.similarity import kmeans_train
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_train(df, k=k, n_iter=2)
+    want = _py_kmeans(rows, k=k, n_iter=2)
+    assert got == want

@@ -29,7 +29,7 @@ def run_once(cpus: int, n_files: int) -> dict:
         # dense files so extraction is CPU-bound and fixed stage overhead
         # (~1s) is noise, not signal, at both parallelism points
         GONDAR_BENCH_FACTS=os.environ.get("GONDAR_BENCH_FACTS", "120,240"),
-        GONDAR_BENCH_REPS="3",
+        GONDAR_BENCH_REPS=os.environ.get("GONDAR_BENCH_REPS", "3"),
     )
     # PIN the whole process tree (JVM + python workers) to `cpus` physical
     # CPUs: local[N] alone only caps JVM task slots — the async Python
