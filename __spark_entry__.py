@@ -476,6 +476,34 @@ def q_xml_tables(spark, sf_dir):
     return xml_tables(_xml_docs(spark, sf_dir))
 
 
+def q_streaming_exact_dedup(spark, sf_dir):
+    """Dedup-on-ingest: the documents table drained through a REAL stream
+    into the stateful exact-dedup operator (applyInPandasWithState, state
+    = (keeper, count) per content hash). One availableNow micro-batch ->
+    update-mode emits each hash's final row once; shares the batch
+    exact_dedup oracle, so the streaming rewrite is hash-verified."""
+    import tempfile
+    import uuid
+
+    from gondar_spark.streaming.jobs import stateful_exact_dedup
+
+    stage_dir = tempfile.mkdtemp(prefix="gondar_stream_docs_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(stage_dir, "documents.parquet"),
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).format("parquet").load(stage_dir)
+    deduped = stateful_exact_dedup(stream)
+    name = "q_stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # --- Structured Streaming, oracle-checked: a REAL readStream run (file
 #     source -> watermarked tumbling window -> memory sink) drained with
 #     availableNow; the drained result must equal the batch SQL oracle ---------
@@ -1202,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_tables": q_xml_tables,
         "streaming_hourly_events": q_streaming_hourly_events,
         "streaming_repo_totals": q_streaming_repo_totals,
+        "streaming_exact_dedup": q_streaming_exact_dedup,
         "asof_event_lookup": q_asof_event_lookup,
         "asof_event_lookup_bucketed": q_asof_event_lookup_bucketed,
         "range_join_recent": q_range_join_recent,
@@ -2262,4 +2291,5 @@ def _with_rewrite_aliases(oracles: dict[str, str]) -> dict[str, str]:
     oracles["asof_event_lookup_bucketed"] = oracles["asof_event_lookup"]
     oracles["events_topk_users_bucketed"] = oracles["events_topk_users"]
     oracles["ivf_topk_indexed"] = oracles["ivf_topk"]
+    oracles["streaming_exact_dedup"] = oracles["exact_dedup"]
     return oracles

@@ -111,3 +111,46 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
             "sum_value",
         )
     )
+
+
+def stateful_exact_dedup(doc_stream: DataFrame, col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Streaming exact dedup: the batch operator's md5-groupBy semantics
+    carried across micro-batches with ``applyInPandasWithState``. State
+    per content hash = (keeper id, copy count); keeper = min id ever seen
+    (monotone, so late arrivals can only lower it), count accumulates.
+    Update-mode emits the hash's current row whenever a batch touches it;
+    drained with availableNow over a static corpus the output equals
+    batch ``exact_dedup`` exactly (shared oracle). At scale this is the
+    dedup-on-ingest path: state is one (16-byte key, long, long) per
+    DISTINCT document, partitioned by hash."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = doc_stream.select(
+        F.md5(F.col(col).cast("binary")).alias("text_hash"),
+        F.col(id_col).alias("_id"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            keep, n = state.get
+        else:
+            keep, n = None, 0
+        for pdf in pdfs:
+            for v in pdf["_id"]:
+                v = int(v)
+                keep = v if keep is None or v < keep else keep
+                n += 1
+        state.update((keep, n))
+        yield pd.DataFrame(
+            {"text_hash": [key[0]], "keep_id": [keep], "n_copies": [n]}
+        )
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        update,
+        outputStructType="text_hash string, keep_id long, n_copies long",
+        stateStructType="keep long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -176,3 +176,46 @@ def test_aggregation_stays_in_codegen(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
     assert codegen_stage_count(agg) >= 1
+
+
+def test_stateful_exact_dedup_across_micro_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): a duplicate arriving in a
+    LATER batch with a smaller id must lower the keeper, and counts
+    accumulate across batches — the last update-mode emission per hash is
+    the batch exact_dedup answer."""
+    import pandas as pd
+
+    from gondar_spark.streaming.jobs import stateful_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [10, 11], "text": ["same text", "uniq a"]}).to_parquet(
+        src / "b.parquet")  # arrives first or second — either way works
+    pd.DataFrame({"doc_id": [3, 12], "text": ["same text", "uniq b"]}).to_parquet(
+        src / "a.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).format("parquet").load(str(src))
+    )
+    out = stateful_exact_dedup(stream)
+    name = "t_stream_dedup"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    # final emission per hash = the one with the max count (counts are
+    # monotone across batches; memory-sink row order is not contractual)
+    final = {}
+    for r in rows:
+        if (r["text_hash"] not in final
+                or r["n_copies"] > final[r["text_hash"]][1]):
+            final[r["text_hash"]] = (r["keep_id"], r["n_copies"])
+    import hashlib
+
+    same_hash = hashlib.md5(b"same text").hexdigest()
+    assert final[same_hash] == (3, 2)  # keeper lowered to 3, both counted
+    assert len(final) == 3
+    # the duplicate hash was touched by two batches -> emitted twice
+    assert sum(1 for r in rows if r["text_hash"] == same_hash) == 2
