@@ -501,7 +501,17 @@ def q_streaming_exact_dedup(spark, sf_dir):
         .outputMode("update").trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # update-mode re-emits a hash in EVERY micro-batch that touches it;
+    # reduce to the final row per hash (keeper only ever lowers, count
+    # only ever grows) so the result is drain-batching-independent
+    return (
+        spark.table(name)
+        .groupBy("text_hash")
+        .agg(
+            F.min("keep_id").alias("keep_id"),
+            F.max("n_copies").alias("n_copies"),
+        )
+    )
 
 
 # --- Structured Streaming, oracle-checked: a REAL readStream run (file

@@ -225,9 +225,15 @@ class HttpChatTransport:
 
     ``http_post(url, headers, body_bytes, timeout_s) -> (status, body)``
     is injectable; tests drive the adapter with a fake socket, deployment
-    passes nothing and gets the urllib default. ``request_batch`` issues
-    one HTTP call per prompt (chat-completions endpoints take a single
-    message list); a provider batch API can subclass and override it.
+    passes nothing and gets the urllib default.
+
+    Deliberately NO ``request_batch``: chat-completions endpoints take a
+    single message list per call, so BatchLLMExtractor's unbatched path
+    (exactly one billed call per prompt, per-prompt bounded retries) is
+    the correct shape — a loop-based request_batch would discard and
+    re-bill every already-successful prompt whenever a later prompt in
+    the chunk failed. A provider with a REAL batch API subclasses and
+    adds request_batch with that API's atomicity.
     """
 
     TRANSIENT = frozenset({429, 500, 502, 503, 504})
@@ -296,10 +302,6 @@ class HttpChatTransport:
             raise TransportError(f"HTTP {status}: {reply_body[:200]!r}")
         self.n_failures += 1
         raise last_err
-
-    def request_batch(self, batch: list[list[dict[str, str]]],
-                      **kw) -> list[dict]:
-        return [self.request(m, **kw) for m in batch]
 
 
 def _urllib_post(url: str, headers: dict, body: bytes,

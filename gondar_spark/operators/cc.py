@@ -76,10 +76,6 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _persistent_rdd_ids(sc) -> set[int]:
-    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
-
 def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
     """Free specific checkpoint RDDs by id (non-blocking). The only handle
     Spark exposes for localCheckpoint storage — DataFrame.unpersist only
@@ -91,6 +87,17 @@ def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
             rdd.unpersist(False)
 
 
+def _checkpoint_rdd_ids(cp: DataFrame) -> set[int]:
+    """The checkpointed RDD id straight off the plan (LogicalRDD.rdd.id)
+    — NOT a before/after diff of all persistent RDDs, which would capture
+    (and later free) checkpoints created concurrently by OTHER driver
+    threads in a shared session."""
+    try:
+        return {int(cp._jdf.queryExecution().analyzed().rdd().id())}
+    except Exception:  # plan shape changed: skip cleanup, never misfree
+        return set()
+
+
 def _checkpoint_with_checksum(
     e: DataFrame,
 ) -> tuple[DataFrame, tuple[int, int], set[int]]:
@@ -99,11 +106,9 @@ def _checkpoint_with_checksum(
     localCheckpoint-then-aggregate (measured ~5-10% off the 100k-edge CC
     wall time: the separate checksum scan read cached partitions, so the
     saving is scheduling overhead, not IO). Also returns the new
-    checkpoint's RDD ids so the caller can free the PREVIOUS round."""
+    checkpoint's RDD id so the caller can free the PREVIOUS round."""
     from pyspark.sql import Observation
 
-    sc = e.sparkSession.sparkContext
-    before = _persistent_rdd_ids(sc)
     obs = Observation()
     observed = e.observe(
         obs,
@@ -112,7 +117,7 @@ def _checkpoint_with_checksum(
     )
     cp = observed.localCheckpoint()  # eager: runs the job, fires the obs
     got = obs.get
-    return cp, (int(got["n"]), int(got["h"])), _persistent_rdd_ids(sc) - before
+    return cp, (int(got["n"]), int(got["h"])), _checkpoint_rdd_ids(cp)
 
 
 def connected_components(

@@ -35,11 +35,26 @@ from ..functions.numeric import round_half_up
 from ..functions.textstats import tokens_col
 
 _LIVE_CACHES: list[DataFrame] = []
+# bound for callers that never call release_caches(): beyond this many
+# outstanding persists the OLDEST is force-unpersisted (logged). Note a
+# dropped persisted Dataset was never auto-freed before either — the SQL
+# CacheManager holds entries until unpersist/clearCache regardless of
+# Python references — so the cap strictly improves the untracked case.
+MAX_LIVE_CACHES = 16
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
     df = df.persist()
     _LIVE_CACHES.append(df)
+    if len(_LIVE_CACHES) > MAX_LIVE_CACHES:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup cache registry over %d entries — force-releasing the "
+            "oldest; call release_caches() between queries",
+            MAX_LIVE_CACHES,
+        )
+        _LIVE_CACHES.pop(0).unpersist()
     return df
 
 

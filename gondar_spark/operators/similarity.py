@@ -40,12 +40,13 @@ def _norm(a):
 
 
 def cosine_col(a, b):
-    """Cosine similarity; 0.0 when either side has zero norm (ANSI mode
+    """Cosine similarity; 0.0 when either side has ZERO NORM (ANSI mode
     would otherwise DIVIDE_BY_ZERO on an all-zero vector — found by the
-    kmeans fuzz test; the driver-side mirrors define the same 0.0)."""
-    return F.coalesce(
-        F.try_divide(_dot(a, b), _norm(a) * _norm(b)), F.lit(0.0)
-    )
+    kmeans fuzz test; the driver-side mirrors define the same 0.0). NULL
+    inputs stay NULL — desc ordering keeps them out of top-k, rather than
+    fabricating a 0.0 that would outrank true negative similarities."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -290,8 +291,12 @@ def kmeans_parallel_init(
             range(len(cands)), key=lambda i: (-weights.get(i, 0), i)
         )
         chosen = [cands[i] for i in ranked[:k]]
-        while len(chosen) < k:  # degenerate pool: pad by repeating seeds
-            chosen.append(chosen[len(chosen) % max(1, len(chosen))])
+        # degenerate pool (< k candidates): pad by CYCLING the seeds —
+        # indexing by len(chosen) % len(chosen) would always repeat seed 0
+        seeds, pad = list(chosen), 0
+        while seeds and len(chosen) < k:
+            chosen.append(seeds[pad % len(seeds)])
+            pad += 1
         return chosen
     finally:
         staged.unpersist()

@@ -23,6 +23,21 @@ def top_k_by_count(df: DataFrame, key: str, k: int = 10) -> DataFrame:
     return counts.orderBy(F.desc("cnt"), F.asc(key)).limit(k)
 
 
+def _orderable(dt) -> bool:
+    """Whether a column type can appear in a sort order — map types (at
+    any nesting depth) cannot, and including one in the default tiebreak
+    would turn a working call into an AnalysisException."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def top_k_per_group(
     df: DataFrame,
     group: str,
@@ -53,7 +68,8 @@ def top_k_per_group(
         tiebreak_cols = [F.asc(tiebreak)]
     else:
         tiebreak_cols = [
-            F.asc(c) for c in df.columns if c not in (group, order)
+            F.asc(f.name) for f in df.schema.fields
+            if f.name not in (group, order) and _orderable(f.dataType)
         ]
     order_cols = [F.desc(order), *tiebreak_cols]
     if pre_buckets:

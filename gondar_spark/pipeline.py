@@ -110,12 +110,36 @@ class Pipeline:
             if force or incremental or not self.io.exists(cfg.source_table):
                 self.io.register(cfg.source_table, source_path)
             registered = self.io.read(cfg.source_table)
-            executed["source"] = self._run_stage(
-                "source",
-                {"source_hashes": source.with_content_sha(registered).select(
-                    "repo", "path", "commit", "content_sha256")},
-                force=force or incremental,
-            )
+            if (incremental and not force
+                    and self.io.exists("source_hashes")):
+                # zero-copy incremental: hash ONLY files not yet in the
+                # committed hash table (same anti-join as the extraction
+                # ledger) — a full-corpus sha pass per incremental run is
+                # exactly the job-sized cost this mode exists to avoid
+                old_hashes = self.io.read("source_hashes")
+                new_hashes = source.with_content_sha(
+                    registered.join(
+                        old_hashes.select("repo", "path", "commit"),
+                        ["repo", "path", "commit"], "left_anti",
+                    )
+                ).select("repo", "path", "commit", "content_sha256"
+                         ).localCheckpoint(eager=True)
+                if new_hashes.count() > 0:
+                    executed["source"] = self._run_stage(
+                        "source",
+                        {"source_hashes": old_hashes.unionByName(new_hashes)},
+                        force=True,
+                    )
+                else:
+                    self._log("source", skipped=True)
+                    executed["source"] = False
+            else:
+                executed["source"] = self._run_stage(
+                    "source",
+                    {"source_hashes": source.with_content_sha(registered)
+                     .select("repo", "path", "commit", "content_sha256")},
+                    force=force or incremental,
+                )
         elif source_df is not None:
             executed["source"] = self._run_stage(
                 "source",
@@ -165,7 +189,16 @@ class Pipeline:
             n_todo = todo_keys.count()
             if n_todo == 0:
                 # ZERO extractor invocations: no extraction plan is even
-                # built — the gate the ledger exists to provide
+                # built — the gate the ledger exists to provide. A legacy
+                # warehouse (pre-ledger) still commits the derived key set
+                # here, so the triples_raw-distinct fallback runs ONCE,
+                # not on every future run.
+                if not self.io.exists("extract_done"):
+                    self.io.write(
+                        done, "extract_done",
+                        meta={"stage": "triples_raw",
+                              "run_id": self.cfg.run_id},
+                    )
                 self._log("triples_raw_incremental", n_todo=0, new_rows=0,
                           skipped=True)
                 executed["triples_raw"] = False
@@ -184,8 +217,12 @@ class Pipeline:
                 n_quar = new_quarantine.count()
                 # the ledger advances for every ATTEMPTED file — zero-triple
                 # and quarantined files included (their outcome is recorded
-                # in quarantine; force=True re-extracts everything)
-                tables = {"extract_done": done.unionByName(todo_keys)}
+                # in quarantine; force=True re-extracts everything). It is
+                # inserted LAST below: _run_stage writes tables in dict
+                # order, and committing the ledger BEFORE the data would
+                # let a crash between the two commits permanently skip
+                # files whose triples were never written (A15).
+                tables = {}
                 if n_new > 0:
                     tables["triples_raw"] = old.unionByName(new_triples)
                 if n_quar > 0:
@@ -201,6 +238,7 @@ class Pipeline:
                         ["repo", "path", "commit", "obj"])
                 tables["extract_metrics"] = self.io.read(
                     "extract_metrics").unionByName(new_metrics)
+                tables["extract_done"] = done.unionByName(todo_keys)
                 self._run_stage("triples_raw", tables, force=True)
                 self._log("triples_raw_incremental", n_todo=n_todo,
                           new_rows=n_new, new_quarantine=n_quar)

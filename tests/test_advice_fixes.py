@@ -125,3 +125,171 @@ def test_top_k_by_count_plan_and_ties(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+# ---- round-3 code-review regressions ----------------------------------------
+def test_incremental_commits_ledger_after_data(spark, tmp_path, monkeypatch):
+    """Crash consistency: in the incremental stage write, extract_done must
+    be the LAST table committed — a ledger committed before the data would
+    let a crash between the commits permanently skip files whose triples
+    were never written."""
+    from gondar_spark.config import JobConfig
+    from gondar_spark.pipeline import Pipeline
+    from gondar_spark.synth import SynthConfig, generate_source_df
+
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="ord")
+    pipe = Pipeline(spark, cfg)
+    base = generate_source_df(spark, SynthConfig(n_files=30), partitions=4)
+    pipe.run(source_df=base)
+
+    orders = []
+    orig = Pipeline._run_stage
+
+    def spy(self, name, tables, **kw):
+        orders.append((name, list(tables)))
+        return orig(self, name, tables, **kw)
+
+    monkeypatch.setattr(Pipeline, "_run_stage", spy)
+    bigger = generate_source_df(spark, SynthConfig(n_files=40), partitions=4)
+    pipe.run(source_df=bigger, incremental=True)
+    inc = [t for n, t in orders if n == "triples_raw" and "extract_done" in t]
+    assert inc and all(t[-1] == "extract_done" for t in inc)
+    assert all(t.index("triples_raw") < t.index("extract_done")
+               for t in inc if "triples_raw" in t)
+
+
+def test_http_transport_has_no_lossy_request_batch():
+    """A loop-based request_batch on the HTTP adapter would re-bill every
+    completed prompt when a later one fails; the extractor must take the
+    unbatched path (exactly one billed call per prompt on the happy path)."""
+    import json
+
+    from gondar_spark.extraction.llm import BatchLLMExtractor, HttpChatTransport
+
+    assert not hasattr(HttpChatTransport, "request_batch")
+
+    def fake_post(url, headers, body, timeout_s):
+        msgs = json.loads(body)["messages"]
+        user = next(m["content"] for m in msgs if m["role"] == "user")
+        head, _, rest = user.partition("):\n")
+        lang = head.split("Reference (", 1)[1].split(",", 1)[0]
+        reference = rest.rsplit("\n\nMotivation:", 1)[0]
+        from gondar_spark.extraction.llm import HEADERS
+        from gondar_spark.extraction.spec import extract_from_content
+
+        facts = extract_from_content(lang, reference)
+        data = {h: [f[i] for f in facts] for i, h in enumerate(HEADERS)}
+        content = json.dumps({"headers": list(HEADERS),
+                              "satisfy": [h for h in HEADERS if data[h]],
+                              "data": data})
+        return 200, json.dumps(
+            {"choices": [{"message": {"role": "assistant",
+                                      "content": content}}],
+             "usage": {"prompt_tokens": 1, "completion_tokens": 1}})
+
+    ext = BatchLLMExtractor(
+        transport_factory=lambda: HttpChatTransport(
+            "https://ep.example/v1", "k", http_post=fake_post),
+        prompt_batch_size=4,
+    )
+    rows = [("python", f"def f{i}(ctx):", f"r:f{i}.py", 0) for i in range(9)]
+    results = ext.extract_batch(rows)
+    assert all(not isinstance(r, Exception) for r in results)
+    assert ext.usage["n_requests"] == 9  # one per prompt, none re-billed
+
+
+def test_cosine_null_embedding_stays_out_of_topk(spark):
+    from gondar_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = cosine_topk(df, [1.0, 0.0], k=3).collect()
+    # NULL embedding must not outrank the true negative-similarity row
+    assert [r["vec_id"] for r in got][:2] == [1, 2]
+    assert got[0]["cosine"] == 1.0 and got[1]["cosine"] == -1.0
+
+
+def test_kmeans_parallel_init_pads_by_cycling(spark):
+    from gondar_spark.operators.similarity import kmeans_parallel_init
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_parallel_init(df, k=4, rounds=1)
+    assert len(cents) == 4
+    assert cents[2] == cents[0] and cents[3] == cents[1]  # cycled, not all seed-0
+    assert cents[0] != cents[1]
+
+
+def test_zero_copy_incremental_hashes_only_new_files(spark, tmp_path):
+    from gondar_spark.config import JobConfig
+    from gondar_spark.pipeline import Pipeline
+    from gondar_spark.synth import SynthConfig, generate_source_df
+
+    src = generate_source_df(spark, SynthConfig(n_files=30), partitions=4)
+    ext_dir = str(tmp_path / "corpus")
+    src.write.parquet(ext_dir)
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="zci")
+    pipe = Pipeline(spark, cfg)
+    pipe.run(source_path=ext_dir)
+    n0 = pipe.io.read("source_hashes").count()
+
+    # unchanged corpus, incremental: the source stage SKIPS (no full
+    # re-hash of the registered corpus)
+    executed = pipe.run(source_path=ext_dir, incremental=True)
+    assert executed["source"] is False
+    assert pipe.io.read("source_hashes").count() == n0
+
+    # one new file appended to the external corpus: exactly one new hash
+    extra = spark.createDataFrame(
+        [("orgz/repo", "src/new.py", "c1", "python", "def zc(ctx):")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    extra.write.mode("append").parquet(ext_dir)
+    executed = pipe.run(source_path=ext_dir, incremental=True)
+    assert executed["source"] is True
+    assert pipe.io.read("source_hashes").count() == n0 + 1
+
+
+def test_tracked_persist_cap_force_releases_oldest(spark, monkeypatch):
+    from gondar_spark.operators import dedup
+
+    dedup.release_caches()
+    monkeypatch.setattr(dedup, "MAX_LIVE_CACHES", 2)
+    dfs = [spark.range(10 + i) for i in range(3)]
+    for d in dfs:
+        dedup._tracked_persist(d)
+    assert len(dedup._LIVE_CACHES) == 2  # oldest force-released
+    assert dedup._LIVE_CACHES[0] is not dfs[0]
+    dedup.release_caches()
+
+
+def test_top_k_per_group_default_tiebreak_skips_map_columns(spark):
+    from pyspark.sql import functions as F
+
+    from gondar_spark.operators.topk import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("g", 2.0, 10, {"k": "v"}), ("g", 1.0, 11, {"k": "w"})],
+        "grp string, score double, rid long, payload map<string,string>",
+    )
+    got = top_k_per_group(df, "grp", "score", 1).collect()  # must not raise
+    assert [r["rid"] for r in got] == [10]
+
+
+def test_cc_never_frees_foreign_checkpoints(spark):
+    """The freed-ids come straight off CC's own plan (LogicalRDD.rdd.id),
+    so a checkpoint created by another caller in the same session is
+    never touched."""
+    from pyspark.sql import functions as F
+
+    from gondar_spark.operators.cc import connected_components
+
+    foreign = spark.range(5000).localCheckpoint()
+    edges = [(f"a{i}", f"a{i + 1}") for i in range(100)]
+    df = spark.createDataFrame(edges, ["norm_a", "norm_b"])
+    connected_components(df, max_iter=30).count()
+    assert foreign.count() == 5000  # blocks intact, no missing-block error
