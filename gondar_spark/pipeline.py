@@ -153,6 +153,12 @@ class Pipeline:
 
         # stage 2: chunk + vectorized extraction (B3/B4)
         def _extract(base_src, done_keys=None):
+            """Returns (triples, quarantine, metrics, raw). ``raw`` is
+            PERSISTED: the three outputs are filters over one extraction
+            plan, and without the persist each table write re-runs the
+            whole mapInPandas extraction — 3x the expensive operator per
+            stage (on the LLM path, 3x the endpoint bill). The caller
+            unpersists raw once its outputs are materialized."""
             todo = base_src
             if done_keys is not None:
                 todo = base_src.join(done_keys, ["repo", "path", "commit"],
@@ -165,8 +171,8 @@ class Pipeline:
             if self.batch_extractor is not None:
                 kw["batch_extractor"] = self.batch_extractor
             raw = extract.extract_triples(units, cfg.extractor_max_retries,
-                                          cfg.chunk_lines, **kw)
-            return extract.split_extraction(raw)
+                                          cfg.chunk_lines, **kw).persist()
+            return (*extract.split_extraction(raw), raw)
 
         if incremental and self.io.exists("triples_raw") and not force:
             # done-file LEDGER keyed on (repo, path, commit): triples_raw
@@ -204,15 +210,19 @@ class Pipeline:
                 executed["triples_raw"] = False
                 force_downstream = False
             else:
-                new_triples, new_quarantine, new_metrics = _extract(src, done)
+                new_triples, new_quarantine, new_metrics, raw = _extract(
+                    src, done)
                 # materialize BEFORE overwriting triples_raw: these plans
                 # read the old snapshot lazily, and the upcoming swap would
-                # change what the anti-join sees mid-write
+                # change what the anti-join sees mid-write. The persisted
+                # raw means extraction runs ONCE across the three
+                # checkpoints; released as soon as they exist.
                 new_triples = new_triples.localCheckpoint(eager=True)
                 new_quarantine = new_quarantine.localCheckpoint(eager=True)
                 new_metrics = new_metrics.select(
                     F.col("obj").alias("metric"), "chunk_id"
                 ).localCheckpoint(eager=True)
+                raw.unpersist()
                 n_new = new_triples.count()
                 n_quar = new_quarantine.count()
                 # the ledger advances for every ATTEMPTED file — zero-triple
@@ -247,12 +257,13 @@ class Pipeline:
             force = force or force_downstream
         else:
             def _extract_all():
-                triples, quarantine, metrics = _extract(src)
-                return {"triples_raw": triples, "quarantine": quarantine,
-                        "extract_metrics": metrics.select(
-                            F.col("obj").alias("metric"), "chunk_id"),
-                        "extract_done": src.select(
-                            "repo", "path", "commit").distinct()}
+                triples, quarantine, metrics, raw = _extract(src)
+                return ({"triples_raw": triples, "quarantine": quarantine,
+                         "extract_metrics": metrics.select(
+                             F.col("obj").alias("metric"), "chunk_id"),
+                         "extract_done": src.select(
+                             "repo", "path", "commit").distinct()},
+                        [raw])
             executed["triples_raw"] = self._run_stage_lazy(
                 "triples_raw", _extract_all, force=force)
         triples_raw = self.io.read("triples_raw")

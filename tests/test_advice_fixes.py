@@ -293,3 +293,45 @@ def test_cc_never_frees_foreign_checkpoints(spark):
     df = spark.createDataFrame(edges, ["norm_a", "norm_b"])
     connected_components(df, max_iter=30).count()
     assert foreign.count() == 5000  # blocks intact, no missing-block error
+
+
+def test_extraction_runs_once_per_stage_write(spark, tmp_path):
+    """The triples_raw stage writes three tables filtered from ONE
+    extraction plan; without the raw persist each write re-ran the whole
+    mapInPandas extraction (3x the expensive operator — on the LLM path,
+    3x the bill). Counted via a worker-side marker file: total extracted
+    rows across all extract_batch calls must equal the unit count ONCE."""
+    from gondar_spark.config import JobConfig
+    from gondar_spark.pipeline import Pipeline
+    from gondar_spark.synth import SynthConfig, generate_source_df
+
+    from gondar_spark.extraction.testing import CountingBatchExtractor
+
+    marker = str(tmp_path / "calls.log")
+    open(marker, "w").close()
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="once")
+    pipe = Pipeline(
+        spark, cfg, batch_extractor=CountingBatchExtractor(marker))
+    src = generate_source_df(spark, SynthConfig(n_files=50), partitions=4)
+    pipe.run(source_df=src)
+
+    n_units_extracted = sum(int(x) for x in open(marker) if x.strip())
+    # ground truth: unit count for the same corpus (chunking is
+    # deterministic); anything above it means the stage re-extracted
+    from gondar_spark.operators.chunk import prepare_extraction_units
+
+    n_units = prepare_extraction_units(src, cfg.chunk_lines,
+                                       pass_through_chars=cfg.max_chunk_chars
+                                       ).count()
+    assert n_units_extracted == n_units, (n_units_extracted, n_units)
+
+    # incremental with new files: the new units extract once as well
+    open(marker, "w").close()
+    bigger = generate_source_df(spark, SynthConfig(n_files=60), partitions=4)
+    pipe.run(source_df=bigger, incremental=True)
+    n_inc = sum(int(x) for x in open(marker) if x.strip())
+    new_files = bigger.join(src, ["repo", "path", "commit"], "left_anti")
+    n_new_units = prepare_extraction_units(
+        new_files, cfg.chunk_lines,
+        pass_through_chars=cfg.max_chunk_chars).count()
+    assert n_inc == n_new_units, (n_inc, n_new_units)

@@ -137,3 +137,58 @@ def test_dedup_release_caches_unpersists(spark):
     assert len(dedup._LIVE_CACHES) == 2
     assert dedup.release_caches() == 2
     assert not dedup._LIVE_CACHES
+
+
+def test_asof_bucketed_splits_hot_key_windows(spark):
+    """Structural skew bound: with one key carrying 50% of all rows, the
+    bucketed as-of's window partitions are (key, time-bucket) groups whose
+    max size is a small fraction of the hot key's total — the plain path
+    funnels all of it through ONE window partition."""
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000
+    n = 20_000
+    rows = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 13).cast("string")))
+        .alias("k"),
+        F.timestamp_seconds(base + F.col("id")).alias("ts"),
+    )
+    width = 600
+    per_window = (
+        rows.withColumn(
+            "_bkt", F.floor(F.unix_timestamp("ts") / width))
+        .groupBy("k", "_bkt").count()
+        .agg(F.max("count").alias("mx")).collect()[0]["mx"]
+    )
+    hot_total = rows.filter(F.col("k") == "hot").count()
+    assert hot_total == n // 2
+    # the hot key spreads over ~ n / width buckets; no single window
+    # partition holds more than a few percent of it
+    assert per_window <= hot_total * 0.05, (per_window, hot_total)
+
+
+def test_topk_pre_buckets_split_hot_group(spark):
+    """Same bound for the two-phase top-k: the phase-1 window partitions
+    (group, hash-bucket) each hold ~1/n_buckets of the mega-group."""
+    from pyspark.sql import functions as F
+
+    n, buckets = 20_000, 8
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("mega"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+        .alias("grp"),
+        (F.col("id") * 37 % 1000).cast("double").alias("score"),
+        F.col("id").alias("rid"),
+    )
+    salted = df.withColumn(
+        "_tkb",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)),
+    )
+    mx = (
+        salted.groupBy("grp", "_tkb").count()
+        .filter(F.col("grp") == "mega")
+        .agg(F.max("count").alias("mx")).collect()[0]["mx"]
+    )
+    # near-uniform hash split: max bucket within 1.5x of the even share
+    assert mx <= (n // 2) / buckets * 1.5, mx
