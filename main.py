@@ -30,6 +30,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                         "reading --source-table")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--source-table", default="source_repos")
+    p.add_argument("--source-path", default=None,
+                   help="ZERO-COPY mode: register this existing committed "
+                        "parquet corpus as the source table (pointer "
+                        "manifest, no rewrite) instead of --synthetic / a "
+                        "pre-loaded --source-table")
+    p.add_argument("--incremental", action="store_true",
+                   help="file-level resume: extract only files absent "
+                        "from the committed extract_done ledger")
     p.add_argument("--chunk-lines", type=int, default=64)
     p.add_argument("--link-threshold", type=float, default=0.60)
     p.add_argument("--shuffle-partitions", type=int, default=32)
@@ -83,7 +91,9 @@ def main(argv: list[str] | None = None) -> int:
             SynthConfig(n_files=args.synthetic, seed=args.seed),
             partitions=args.shuffle_partitions * 4,
         )
-    executed = pipe.run(source_df=source_df, force=args.force)
+    executed = pipe.run(source_df=source_df, force=args.force,
+                        incremental=args.incremental,
+                        source_path=args.source_path)
     summary = {
         "executed": executed,
         "tables": {

@@ -67,3 +67,13 @@ def test_scan_source_offset_paging(spark):
     assert [r["path"] for r in page2.collect()] == [f"p{i:02d}" for i in range(5, 10)]
     with pytest.raises(ValueError):  # paging without a total order
         scan_source(df, limit=5, offset=5)
+
+
+def test_cli_exposes_zero_copy_and_incremental():
+    import main as mainmod
+
+    args = mainmod.parse_args(
+        ["--source-path", "/data/corpus", "--incremental"])
+    assert args.source_path == "/data/corpus" and args.incremental
+    d = mainmod.parse_args([])
+    assert d.source_path is None and d.incremental is False
