@@ -184,3 +184,43 @@ def test_kmeans_train_matches_python_mirror_on_fuzz(spark, vecs, k):
     got = kmeans_train(df, k=k, n_iter=2)
     want = _py_kmeans(rows, k=k, n_iter=2)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "hot"]),
+                       st.integers(min_value=0, max_value=5000)),
+             min_size=1, max_size=30),
+    st.lists(st.tuples(st.sampled_from(["a", "b", "hot"]),
+                       st.integers(min_value=0, max_value=5000)),
+             min_size=0, max_size=30),
+    st.sampled_from([60, 600, 7000]),
+)
+def test_asof_bucketed_parity_on_fuzz(spark, probes_raw, build_raw, width):
+    """Property: asof_join_bucketed == asof_join on arbitrary key/time
+    fixtures (duplicate probe timestamps, keys with no build rows, bucket
+    widths smaller and larger than the whole time range), inner and
+    outer."""
+    from pyspark.sql import functions as F
+
+    from gondar_spark.operators.asof import asof_join, asof_join_bucketed
+
+    base = 1_700_000_000
+    probes = spark.createDataFrame(
+        [(k, base + t, i) for i, (k, t) in enumerate(probes_raw)],
+        "k string, epoch long, pid long",
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "pid")
+    # build side unique per (key, ts): the documented precondition
+    seen = {}
+    for k, t in build_raw:
+        seen[(k, t)] = len(seen)
+    build = spark.createDataFrame(
+        [(k, base + t, v) for (k, t), v in seen.items()] or
+        [("__none__", base, -1)],
+        "k string, epoch long, val long",
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "val")
+    for inner in (True, False):
+        a = asof_join(probes, build, "k", "ts", ["val"], inner=inner)
+        b = asof_join_bucketed(probes, build, "k", "ts", ["val"],
+                               bucket_width_s=width, inner=inner)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
