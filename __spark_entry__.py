@@ -417,6 +417,24 @@ def q_ivf_recall(spark, sf_dir):
 
 
 # --- B14 diagnostic: global hot-key top-k (TakeOrderedAndProject) ---------------
+def q_ivf_topk_quantized(spark, sf_dir):
+    """IVF top-k over the int8-quantized corpus: vectors are replaced by
+    their quantize-then-dequantize image (what an int8-stored index
+    searches — 4x less scan bandwidth), centroids/probes unchanged. The
+    oracle re-derives the identical dequantized corpus, so the quantized
+    search results are hash-exact, and the ranking differences vs ivf_topk
+    ARE the reconstruction error quantize_int8_error measures."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != _QUERY_VEC_ID)
+    dq = similarity.with_int8_dequantized(emb)
+    return similarity.ivf_topk(
+        dq,
+        _query_vec(spark, sf_dir),
+        _trained_centroids(spark, sf_dir),
+        k=10,
+        n_probe=_IVF_NPROBE,
+    )
+
+
 def q_ivf_topk_indexed(spark, sf_dir):
     """ivf_topk against a MATERIALIZED index (cells partitioned on disk —
     the build-once/query-many serving path; the probe scan prunes to
@@ -1200,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_per_probe": q_knn_per_probe,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
+        "ivf_topk_quantized": q_ivf_topk_quantized,
         "ivf_recall": q_ivf_recall,
         "topk_hot_entities": q_topk_hot_entities,
         "token_stats": q_token_stats,
@@ -1670,6 +1689,23 @@ FROM h2"""
 def _ivf_topk_sql() -> str:
     corpus = (f"    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
               f"    WHERE vec_id != {_QUERY_VEC_ID}")
+    return _ivf_cte(corpus) + "\nSELECT vec_id, cosine FROM ivf"
+
+
+def _ivf_topk_quantized_sql() -> str:
+    """Same IVF chain over the int8 quantize->dequantize image of the
+    corpus — mirrors similarity.with_int8_dequantized element-for-element
+    (single IEEE ops, no reductions -> bit-exact)."""
+    corpus = f"""    SELECT vec_id,
+           list_transform(v0, x -> mn +
+               (CASE WHEN sc = 0 THEN 0
+                     ELSE floor((x - mn) / sc + 0.5) END) * sc) AS v
+    FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v0,
+               list_min(embedding::DOUBLE[]) AS mn,
+               (list_max(embedding::DOUBLE[])
+                - list_min(embedding::DOUBLE[])) / 255.0 AS sc
+        FROM embeddings WHERE vec_id != {_QUERY_VEC_ID})"""
     return _ivf_cte(corpus) + "\nSELECT vec_id, cosine FROM ivf"
 
 
@@ -2181,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": _kg_edges_sql(),
         "kg_entities": _kg_entities_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "ivf_topk_quantized": _ivf_topk_quantized_sql(),
         "ivf_recall": _ivf_recall_sql(),
         "topk_hot_entities": """
             SELECT user_id, count(*)::BIGINT AS cnt

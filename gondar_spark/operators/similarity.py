@@ -396,6 +396,32 @@ def ivf_topk_indexed(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def with_int8_dequantized(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "embedding"
+) -> DataFrame:
+    """Replace each vector with its int8-quantize-then-dequantize image —
+    the value domain an int8-STORED ANN index actually searches (4x less
+    memory bandwidth per scan at the cost of the reconstruction error
+    quantize_int8_error measures). Same per-element math as that operator
+    (exact cross-engine: single IEEE ops, no reductions), so quantized
+    search results carry an exact DuckDB oracle too. Constant vectors
+    (scale 0) dequantize to their min."""
+    v = F.col(vec_col).cast("array<double>")
+    staged = (
+        df.withColumn("_dq_v", v)
+        .withColumn("_dq_mn", F.array_min(v))
+        .withColumn("_dq_sc", (F.array_max(v) - F.array_min(v)) / 255.0)
+    )
+    code = F.transform(
+        F.col("_dq_v"),
+        lambda x: F.when(F.col("_dq_sc") == 0.0, F.lit(0.0)).otherwise(
+            F.floor((x - F.col("_dq_mn")) / F.col("_dq_sc") + 0.5)
+        ),
+    )
+    dq = F.transform(code, lambda c: F.col("_dq_mn") + c * F.col("_dq_sc"))
+    return staged.withColumn(out_col, dq).drop("_dq_v", "_dq_mn", "_dq_sc")
+
+
 def quantize_int8_error(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -169,3 +169,23 @@ def test_ivf_index_build_query_parity_and_pruning(spark, tmp_path):
     ]
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_int8_dequantized_search_domain(spark):
+    """with_int8_dequantized: constant vectors collapse to their min,
+    reconstruction error is bounded by scale/2 per element, and the
+    dequantized values come from the 256-level grid."""
+    from gondar_spark.operators.similarity import with_int8_dequantized
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0, 0.5, 0.25]), (1, [2.0, 2.0, 2.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: list(r["embedding"])
+           for r in with_int8_dequantized(df).collect()}
+    assert out[1] == [2.0, 2.0, 2.0, 2.0]  # scale 0 -> min
+    sc = 1.0 / 255.0
+    orig = [0.0, 1.0, 0.5, 0.25]
+    assert all(abs(a - b) <= sc / 2 + 1e-12 for a, b in zip(out[0], orig))
+    # grid membership: value = mn + k*sc for integer k
+    assert all(abs(round(v / sc) * sc - v) < 1e-9 for v in out[0])
