@@ -234,6 +234,18 @@ class HttpChatTransport:
     re-bill every already-successful prompt whenever a later prompt in
     the chunk failed. A provider with a REAL batch API subclasses and
     adds request_batch with that API's atomicity.
+
+    IDEMPOTENCY: a network failure is ambiguous — a timeout AFTER the
+    bytes left (read timeout, reset mid-reply) may mean the server
+    completed the call, so auto-retrying it can double-bill a
+    non-idempotent endpoint. ``retry_ambiguous=True`` (default) retries
+    all OSErrors — correct for idempotent/seeded JSON-mode extraction,
+    where a duplicate completion is wasted tokens but not wrong output.
+    Set ``retry_ambiguous=False`` for endpoints where duplicates are
+    unacceptable: timeouts/resets then raise TransportError immediately
+    and the caller's quarantine path decides (pure connect-phase failures
+    — ConnectionRefusedError, i.e. nothing ever reached the server — are
+    still retried, since those are provably unbilled).
     """
 
     TRANSIENT = frozenset({429, 500, 502, 503, 504})
@@ -242,7 +254,8 @@ class HttpChatTransport:
                  http_post: Callable | None = None,
                  timeout_s: float = 300.0,
                  backoff_s: tuple[float, ...] = (1.0, 4.0),
-                 sleep: Callable[[float], None] = time.sleep) -> None:
+                 sleep: Callable[[float], None] = time.sleep,
+                 retry_ambiguous: bool = True) -> None:
         if not endpoint.startswith(("http://", "https://")):
             raise ValueError(f"endpoint must be http(s), got: {endpoint!r}")
         if not api_key:
@@ -253,6 +266,7 @@ class HttpChatTransport:
         self.backoff_s = backoff_s
         self._post = http_post or _urllib_post
         self._sleep = sleep
+        self.retry_ambiguous = retry_ambiguous
         self.n_requests = 0
         self.n_failures = 0
         self.usage_prompt_tokens = 0
@@ -284,7 +298,19 @@ class HttpChatTransport:
                 status, reply_body = self._post(
                     self.endpoint, headers, body, self.timeout_s
                 )
-            except OSError as e:  # connect/read timeout, refused, reset
+            except ConnectionRefusedError as e:
+                # Provably unbilled — the TCP connect never succeeded, so
+                # nothing reached the server. Always safe to retry.
+                last_err = TransportError(f"connection refused: {e}")
+                continue
+            except OSError as e:  # read timeout, reset mid-reply, ...
+                # AMBIGUOUS: the server may have completed the call.
+                if not self.retry_ambiguous:
+                    self.n_failures += 1
+                    raise TransportError(
+                        f"ambiguous network failure (not retried, "
+                        f"retry_ambiguous=False): {e}"
+                    )
                 last_err = TransportError(f"connection failure: {e}")
                 continue
             if status == 200:

@@ -35,6 +35,11 @@ from ..functions.numeric import round_half_up
 from ..functions.textstats import tokens_col
 
 _LIVE_CACHES: list[DataFrame] = []
+# the registry is process-wide (shared across threads and SparkSessions):
+# all mutation happens under _CACHES_LOCK, and every unpersist is
+# individually try/except'd — a DataFrame whose session has already been
+# stopped raises, and one dead entry must not leak the live rest.
+_CACHES_LOCK = None
 # bound for callers that never call release_caches(): beyond this many
 # outstanding persists the OLDEST is force-unpersisted (logged). Note a
 # dropped persisted Dataset was never auto-freed before either — the SQL
@@ -43,10 +48,37 @@ _LIVE_CACHES: list[DataFrame] = []
 MAX_LIVE_CACHES = 16
 
 
+def _lock():
+    global _CACHES_LOCK
+    if _CACHES_LOCK is None:
+        import threading
+
+        _CACHES_LOCK = threading.Lock()
+    return _CACHES_LOCK
+
+
+def _safe_unpersist(df: DataFrame) -> bool:
+    try:
+        df.unpersist()
+        return True
+    except Exception:  # stopped session / dead JVM handle — skip, no leak
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "unpersist failed (stopped session?) — dropping registry entry",
+            exc_info=True,
+        )
+        return False
+
+
 def _tracked_persist(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _LIVE_CACHES.append(df)
-    if len(_LIVE_CACHES) > MAX_LIVE_CACHES:
+    evict = None
+    with _lock():
+        _LIVE_CACHES.append(df)
+        if len(_LIVE_CACHES) > MAX_LIVE_CACHES:
+            evict = _LIVE_CACHES.pop(0)
+    if evict is not None:
         import logging
 
         logging.getLogger(__name__).warning(
@@ -54,18 +86,21 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
             "oldest; call release_caches() between queries",
             MAX_LIVE_CACHES,
         )
-        _LIVE_CACHES.pop(0).unpersist()
+        _safe_unpersist(evict)
     return df
 
 
 def release_caches() -> int:
     """Unpersist every intermediate a dedup operator cached since the last
     call. Safe while no returned plan is still being consumed. Returns the
-    number released."""
+    number released; entries whose session died are dropped (logged), never
+    left to abort the rest."""
+    with _lock():
+        drained, _LIVE_CACHES[:] = _LIVE_CACHES[:], []
     n = 0
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
-        n += 1
+    for df in drained:
+        if _safe_unpersist(df):
+            n += 1
     return n
 
 

@@ -38,6 +38,17 @@ def _orderable(dt) -> bool:
     return True
 
 
+def _salt_cols(df: DataFrame):
+    """Columns safe to feed to xxhash64: Spark's hash functions reject
+    MapType (at any nesting depth), so salts must mirror the _orderable
+    filter — otherwise a map-typed payload column makes the salted path
+    raise AnalysisException while the unsalted path works. Falls back to
+    a constant when no column is hashable (degenerate single bucket,
+    still deterministic)."""
+    cols = [F.col(f.name) for f in df.schema.fields if _orderable(f.dataType)]
+    return cols if cols else [F.lit(0)]
+
+
 def top_k_per_group(
     df: DataFrame,
     group: str,
@@ -73,9 +84,7 @@ def top_k_per_group(
         ]
     order_cols = [F.desc(order), *tiebreak_cols]
     if pre_buckets:
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(pre_buckets)
-        )
+        salt = F.pmod(F.xxhash64(*_salt_cols(df)), F.lit(pre_buckets))
         w1 = Window.partitionBy(group, "_tkb").orderBy(*order_cols)
         df = (
             df.withColumn("_tkb", salt)
@@ -95,7 +104,7 @@ def salted(df: DataFrame, key: str, buckets: int = 8) -> DataFrame:
     over `buckets` reducers; aggregate per (key, salt) first, then
     re-aggregate per key (classic two-phase agg)."""
     return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+        "_salt", F.pmod(F.xxhash64(*_salt_cols(df)), F.lit(buckets))
     )
 
 

@@ -81,9 +81,15 @@ class Pipeline:
         return True
 
     # ---- stages -----------------------------------------------------------
+    # fold ledger segments into one snapshot once this many accumulate:
+    # reads stay O(1) file-listings, and the fold cost is amortized over
+    # COMPACT_AFTER runs instead of paid as a full rewrite on every run
+    COMPACT_AFTER = 8
+
     def run(self, source_df: DataFrame | None = None, force: bool = False,
             incremental: bool = False,
-            source_path: str | None = None) -> dict:
+            source_path: str | None = None,
+            prune_removed: bool = False) -> dict:
         """Run all stages with resume. ``incremental=True`` additionally
         enables file-level resume of the extraction stage: files already
         recorded in the committed ``extract_done`` ledger are skipped via
@@ -99,7 +105,19 @@ class Pipeline:
         movement) and only the small sha256 table is written — at 100 TB
         the copy+shuffle of the ``source_df`` path is a job in itself and
         must not be paid to ingest data that is already at rest.
-        ``source_df`` (fixture/test mode) keeps the copying behavior."""
+        ``source_df`` (fixture/test mode) keeps the copying behavior.
+
+        APPEND-ONLY ASSUMPTION: incremental mode treats the corpus as
+        append-only — files REMOVED or REWRITTEN-in-place upstream leave
+        their old rows in ``source_hashes`` / ``extract_done`` (harmless
+        for correctness: a key absent from the corpus can never match the
+        anti-join, it is dead weight only). Pass ``prune_removed=True``
+        to semi-join both ledgers against the currently-registered corpus
+        keys during this run's compaction, dropping keys the corpus no
+        longer contains. The extraction ledger itself is SEGMENTED: each
+        incremental run appends only its new keys (O(new), not
+        O(history)); segments fold into one snapshot every
+        ``COMPACT_AFTER`` runs (dedup-on-read in between)."""
         cfg = self.cfg
         executed: dict[str, bool] = {}
 
@@ -117,6 +135,12 @@ class Pipeline:
                 # ledger) — a full-corpus sha pass per incremental run is
                 # exactly the job-sized cost this mode exists to avoid
                 old_hashes = self.io.read("source_hashes")
+                if prune_removed:
+                    # drop hash rows whose file the corpus no longer holds
+                    old_hashes = old_hashes.join(
+                        registered.select("repo", "path", "commit"),
+                        ["repo", "path", "commit"], "left_semi",
+                    )
                 new_hashes = source.with_content_sha(
                     registered.join(
                         old_hashes.select("repo", "path", "commit"),
@@ -124,7 +148,7 @@ class Pipeline:
                     )
                 ).select("repo", "path", "commit", "content_sha256"
                          ).localCheckpoint(eager=True)
-                if new_hashes.count() > 0:
+                if new_hashes.count() > 0 or prune_removed:
                     executed["source"] = self._run_stage(
                         "source",
                         {"source_hashes": old_hashes.unionByName(new_hashes)},
@@ -228,10 +252,11 @@ class Pipeline:
                 # the ledger advances for every ATTEMPTED file — zero-triple
                 # and quarantined files included (their outcome is recorded
                 # in quarantine; force=True re-extracts everything). It is
-                # inserted LAST below: _run_stage writes tables in dict
-                # order, and committing the ledger BEFORE the data would
-                # let a crash between the two commits permanently skip
-                # files whose triples were never written (A15).
+                # appended LAST, after the data commit: committing the
+                # ledger BEFORE the data would let a crash between the two
+                # commits permanently skip files whose triples were never
+                # written (A15). Ledgers are SEGMENT APPENDS — O(new rows)
+                # per run, never a rewrite of the full history.
                 tables = {}
                 if n_new > 0:
                     tables["triples_raw"] = old.unionByName(new_triples)
@@ -246,14 +271,17 @@ class Pipeline:
                         new_quarantine)
                     tables["quarantine"] = quar_all.dropDuplicates(
                         ["repo", "path", "commit", "obj"])
-                tables["extract_metrics"] = self.io.read(
-                    "extract_metrics").unionByName(new_metrics)
-                tables["extract_done"] = done.unionByName(todo_keys)
                 self._run_stage("triples_raw", tables, force=True)
+                ledger_meta = {"stage": "triples_raw", "run_id": cfg.run_id}
+                self.io.append(new_metrics, "extract_metrics",
+                               meta=ledger_meta)
+                self.io.append(todo_keys, "extract_done", meta=ledger_meta)
                 self._log("triples_raw_incremental", n_todo=n_todo,
                           new_rows=n_new, new_quarantine=n_quar)
                 executed["triples_raw"] = True
                 force_downstream = n_new > 0
+            self._compact_ledgers(src if prune_removed else None,
+                                  force=prune_removed)
             force = force or force_downstream
         else:
             def _extract_all():
@@ -342,6 +370,36 @@ class Pipeline:
             force=force,
         )
         return executed
+
+    def _compact_ledgers(self, keep_keys: DataFrame | None,
+                         force: bool = False) -> None:
+        """Fold extraction-ledger segments into one base snapshot once
+        ``COMPACT_AFTER`` accumulate (or immediately when ``force``, the
+        prune_removed path). ``extract_done`` compacts to DISTINCT keys,
+        semi-joined against ``keep_keys`` (the registered corpus) when
+        pruning; ``extract_metrics`` folds as-is. Crash-safe: the base
+        snapshot is written before segments are dropped, and every reader
+        keys on distinct (repo, path, commit) so a crash between the two
+        steps only leaves duplicate rows, never lost ones."""
+        meta = {"stage": "ledger_compact", "run_id": self.cfg.run_id}
+        if self.io.exists("extract_done"):
+            n_seg = len(self.io.segments("extract_done"))
+            if force or n_seg >= self.COMPACT_AFTER:
+                led = self.io.read("extract_done").distinct()
+                if keep_keys is not None:
+                    led = led.join(
+                        keep_keys.select("repo", "path", "commit").distinct(),
+                        ["repo", "path", "commit"], "left_semi",
+                    )
+                self.io.compact("extract_done", led, meta=meta)
+                self._log("ledger_compact", table="extract_done",
+                          segments=n_seg, pruned=keep_keys is not None)
+        if self.io.exists("extract_metrics"):
+            n_seg = len(self.io.segments("extract_metrics"))
+            if n_seg >= self.COMPACT_AFTER:
+                self.io.compact("extract_metrics", meta=meta)
+                self._log("ledger_compact", table="extract_metrics",
+                          segments=n_seg)
 
     def _run_stage_lazy(self, name, thunk, partition_by=None, force=False) -> bool:
         """Resume-aware stage: only build the DataFrames if not committed

@@ -168,6 +168,62 @@ class TableIO:
                     n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
         return n
 
+    # ---- append segments (ledger tables) -----------------------------------
+    # A table that only ever GROWS (the extract_done ledger, extract
+    # metrics) must not be rewritten whole on every incremental run — at
+    # 10^9 files the full-ledger rewrite becomes the slowest stage of an
+    # otherwise tiny run. ``append`` commits the new rows as a SEGMENT
+    # (`<name>__seg_<id>`, each an atomic snapshot via ``write``); ``read``
+    # transparently unions base + segments; ``compact`` folds segments back
+    # into the base snapshot (crash-safe: base is rewritten FIRST, segment
+    # drops after — a crash in between leaves duplicate rows, which ledger
+    # consumers tolerate by keying on distinct keys / dedup-on-read).
+    # On Iceberg, appends are native row-level appends and ``segments``
+    # is always empty (the catalog owns file compaction).
+    _SEG_SEP = "__seg_"
+
+    def append(self, df: DataFrame, name: str, meta: dict | None = None) -> dict:
+        if self.use_iceberg:
+            df.writeTo(self._ident(name)).append()
+            return {"table": name, "ts": time.time(), "appended": True,
+                    "meta": meta or {}}
+        if not self.exists(name):
+            return self.write(df, name, meta=meta)
+        seg = f"{name}{self._SEG_SEP}{uuid.uuid4().hex[:12]}"
+        return self.write(df, seg, meta=meta)
+
+    def segments(self, name: str) -> list[str]:
+        """Committed segment table names for ``name`` (parquet backend)."""
+        if self.use_iceberg:
+            return []
+        prefix = f"{name}{self._SEG_SEP}"
+        out = []
+        for entry in sorted(os.listdir(self.warehouse)):
+            if entry.startswith(prefix) and "." not in entry[len(prefix):]:
+                if os.path.exists(os.path.join(self.warehouse, entry, _COMMIT)):
+                    out.append(entry)
+        return out
+
+    def compact(self, name: str, df: DataFrame | None = None,
+                meta: dict | None = None) -> dict | None:
+        """Fold segments into one base snapshot. ``df`` overrides the
+        compacted content (callers use this to dedup or prune while
+        compacting); default is the full union read. No-op when there is
+        nothing to fold (unless ``df`` is given — an explicit rewrite)."""
+        if self.use_iceberg:
+            return None
+        segs = self.segments(name)
+        if not segs and df is None:
+            return None
+        if df is None:
+            df = self.read(name)
+        # the write plan reads the CURRENT base + segments while staging to
+        # a tmp dir; the atomic swap happens only after the read finished
+        commit = self.write(df, name, meta=meta)
+        for seg in segs:
+            self.drop(seg)
+        return commit
+
     # ---- zero-copy registration --------------------------------------------
     def register(self, name: str, path: str) -> dict:
         """Register ALREADY-COMMITTED data as table ``name`` without
@@ -208,8 +264,12 @@ class TableIO:
             raise TableFormatError(f"table {name} not committed")
         meta = self.commit_meta(name) or {}
         if meta.get("external_path"):
-            return self.spark.read.parquet(meta["external_path"])
-        return self.spark.read.parquet(self._path(name))
+            df = self.spark.read.parquet(meta["external_path"])
+        else:
+            df = self.spark.read.parquet(self._path(name))
+        for seg in self.segments(name):
+            df = df.unionByName(self.spark.read.parquet(self._path(seg)))
+        return df
 
     def exists(self, name: str) -> bool:
         if self.use_iceberg:
@@ -233,5 +293,7 @@ class TableIO:
         if self.use_iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
         else:
+            for seg in self.segments(name):
+                shutil.rmtree(self._path(seg), ignore_errors=True)
             shutil.rmtree(self._path(name), ignore_errors=True)
             self.spark.catalog.refreshByPath(self._path(name))

@@ -122,10 +122,20 @@ def stateful_exact_dedup(doc_stream: DataFrame, col: str = "text",
     Update-mode emits the hash's current row whenever a batch touches it;
     drained with availableNow over a static corpus the output equals
     batch ``exact_dedup`` exactly (shared oracle). At scale this is the
-    dedup-on-ingest path: state is one (16-byte key, long, long) per
-    DISTINCT document, partitioned by hash."""
+    dedup-on-ingest path: state is one (16-byte key, id, long) per
+    DISTINCT document, partitioned by hash.
+
+    The keeper id keeps its NATIVE type: integral ids use a long state
+    column, everything else (string doc ids, like batch ``exact_dedup``
+    accepts) a string one — min() is the same orderable-column semantics
+    either way, so the batch/streaming twins stay interchangeable."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = doc_stream.schema[id_col].dataType
+    integral = isinstance(id_type, (ByteType, ShortType, IntegerType, LongType))
+    id_sql, coerce = ("long", int) if integral else ("string", str)
 
     hashed = doc_stream.select(
         F.md5(F.col(col).cast("binary")).alias("text_hash"),
@@ -139,7 +149,7 @@ def stateful_exact_dedup(doc_stream: DataFrame, col: str = "text",
             keep, n = None, 0
         for pdf in pdfs:
             for v in pdf["_id"]:
-                v = int(v)
+                v = coerce(v)
                 keep = v if keep is None or v < keep else keep
                 n += 1
         state.update((keep, n))
@@ -149,8 +159,8 @@ def stateful_exact_dedup(doc_stream: DataFrame, col: str = "text",
 
     return hashed.groupBy("text_hash").applyInPandasWithState(
         update,
-        outputStructType="text_hash string, keep_id long, n_copies long",
-        stateStructType="keep long, n long",
+        outputStructType=f"text_hash string, keep_id {id_sql}, n_copies long",
+        stateStructType=f"keep {id_sql}, n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -142,20 +142,32 @@ def test_incremental_commits_ledger_after_data(spark, tmp_path, monkeypatch):
     base = generate_source_df(spark, SynthConfig(n_files=30), partitions=4)
     pipe.run(source_df=base)
 
-    orders = []
-    orig = Pipeline._run_stage
+    events = []
+    orig_stage = Pipeline._run_stage
+    orig_append = type(pipe.io).append
 
-    def spy(self, name, tables, **kw):
-        orders.append((name, list(tables)))
-        return orig(self, name, tables, **kw)
+    def spy_stage(self, name, tables, **kw):
+        events.append(("stage", name, list(tables)))
+        return orig_stage(self, name, tables, **kw)
 
-    monkeypatch.setattr(Pipeline, "_run_stage", spy)
+    def spy_append(self, df, name, **kw):
+        events.append(("append", name, None))
+        return orig_append(self, df, name, **kw)
+
+    monkeypatch.setattr(Pipeline, "_run_stage", spy_stage)
+    monkeypatch.setattr(type(pipe.io), "append", spy_append)
     bigger = generate_source_df(spark, SynthConfig(n_files=40), partitions=4)
     pipe.run(source_df=bigger, incremental=True)
-    inc = [t for n, t in orders if n == "triples_raw" and "extract_done" in t]
-    assert inc and all(t[-1] == "extract_done" for t in inc)
-    assert all(t.index("triples_raw") < t.index("extract_done")
-               for t in inc if "triples_raw" in t)
+    # the ledger is a segment APPEND that happens strictly AFTER the data
+    # commit (and never rides inside the stage's tables dict)
+    i_data = next(i for i, (kind, name, tables) in enumerate(events)
+                  if kind == "stage" and name == "triples_raw"
+                  and "triples_raw" in (tables or []))
+    i_ledger = next(i for i, (kind, name, _) in enumerate(events)
+                    if kind == "append" and name == "extract_done")
+    assert i_data < i_ledger
+    assert all("extract_done" not in (tables or [])
+               for kind, name, tables in events if kind == "stage")
 
 
 def test_http_transport_has_no_lossy_request_batch():
