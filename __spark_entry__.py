@@ -1195,7 +1195,29 @@ def q_kg_entities(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING IS DELIBERATE: the driver's correctness harness verifies a
+    # window of entries in dict order, so the queries that have not yet
+    # appeared in a driver CORRECTNESS artifact lead (the KG product
+    # tables first, then streaming/temporal/xml and this round's
+    # additions); the long-driver-verified rest follows.
     return {
+        "kg_triples": q_kg_triples,
+        "kg_edges": q_kg_edges,
+        "kg_entities": q_kg_entities,
+        "streaming_hourly_events": q_streaming_hourly_events,
+        "streaming_repo_totals": q_streaming_repo_totals,
+        "streaming_exact_dedup": q_streaming_exact_dedup,
+        "asof_event_lookup": q_asof_event_lookup,
+        "asof_event_lookup_bucketed": q_asof_event_lookup_bucketed,
+        "range_join_recent": q_range_join_recent,
+        "xml_meta": q_xml_meta,
+        "xml_body_sections": q_xml_body_sections,
+        "xml_tables": q_xml_tables,
+        "docs_except_en": q_docs_except_en,
+        "orders_running_total": q_orders_running_total,
+        "union_projections": q_union_projections,
+        "distinct_pairs": q_distinct_pairs,
+        "latest_event_per_user": q_latest_event_per_user,
         "scan_pushdown_topk": q_scan_pushdown_topk,
         "semi_join_fetch": q_semi_join_fetch,
         "meta_projection": q_meta_projection,
@@ -1246,23 +1268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_grouped_map": q_zscore_grouped_map,
         "median_quantity": q_median_quantity,
         "customers_without_orders": q_customers_without_orders,
-        "docs_except_en": q_docs_except_en,
-        "orders_running_total": q_orders_running_total,
-        "union_projections": q_union_projections,
-        "distinct_pairs": q_distinct_pairs,
-        "latest_event_per_user": q_latest_event_per_user,
-        "kg_triples": q_kg_triples,
-        "kg_edges": q_kg_edges,
-        "kg_entities": q_kg_entities,
-        "xml_meta": q_xml_meta,
-        "xml_body_sections": q_xml_body_sections,
-        "xml_tables": q_xml_tables,
-        "streaming_hourly_events": q_streaming_hourly_events,
-        "streaming_repo_totals": q_streaming_repo_totals,
-        "streaming_exact_dedup": q_streaming_exact_dedup,
-        "asof_event_lookup": q_asof_event_lookup,
-        "asof_event_lookup_bucketed": q_asof_event_lookup_bucketed,
-        "range_join_recent": q_range_join_recent,
     }
 
 

@@ -4,7 +4,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "extraction": {"n_files": N, "docs_per_sec": T, "cpus": C}}
+   "extraction": {"n_files": N, "docs_per_sec": T, "cpus": C},
+   "pipeline_stages": {stage: sec, ...}, "extras_file": "BENCH/..."}
+
+That line is the LAST stdout line and stays compact; the scaling_10x and
+sf1 campaign payloads are written to BENCH/extras_latest.json instead
+(round 3's combined line outgrew the driver's tail capture).
 
 The extraction entry is the north-rule metric (documents/sec through the
 chunk+mapInPandas extract stage); tools/bench_scaling.py runs THIS script
@@ -116,9 +121,14 @@ def bench_extraction(spark, n_files: int) -> dict:
     }
 
 
-def bench_full_pipeline(spark, n_files: int = 2000) -> float:
+def bench_full_pipeline(spark, n_files: int = 2000,
+                        return_stages: bool = False):
     """Wall-clock of the whole staged job (extract -> link -> CC ->
-    materialize) including snapshot writes, on a temp warehouse."""
+    materialize) including snapshot writes, on a temp warehouse.
+    ``return_stages=True`` additionally returns per-stage wall seconds
+    from the pipeline's own lineage log, so a slow headline number can be
+    attributed to a stage (code regression) vs spread evenly (host window
+    noise) without a re-run."""
     import shutil
     import tempfile
 
@@ -132,9 +142,15 @@ def bench_full_pipeline(spark, n_files: int = 2000) -> float:
         src = generate_source_df(
             spark, SynthConfig(n_files=n_files, seed=5), partitions=32
         )
+        pipe = Pipeline(spark, cfg)
         t0 = time.time()
-        Pipeline(spark, cfg).run(source_df=src)
-        return round(time.time() - t0, 3)
+        pipe.run(source_df=src)
+        wall = round(time.time() - t0, 3)
+        if return_stages:
+            stages = {r["stage"]: r["wall_s"] for r in pipe.lineage()
+                      if "wall_s" in r}
+            return wall, stages
+        return wall
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
@@ -377,6 +393,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import gc
+
     timings: dict[str, float] = {}
     if not only_extraction:
         qs = entrymod.queries()
@@ -391,16 +409,21 @@ def main() -> None:
             _force(qs[name](spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
             # operator-owned persists are released per query — the bench
-            # session is the "long-lived session" ADVICE warned about
+            # session is the "long-lived session" ADVICE warned about —
+            # and a driver-side gc keeps py4j handle churn out of the
+            # next query's window
             dedup_ops.release_caches()
+            gc.collect()
 
     extraction = bench_extraction(spark, n_files)
     timings["kg_extraction"] = extraction["sec"]
 
     scaling = None
     sf1 = None
+    stage_walls: dict[str, float] = {}
     if not only_extraction:
-        timings["kg_pipeline_full"] = bench_full_pipeline(spark)
+        timings["kg_pipeline_full"], stage_walls = bench_full_pipeline(
+            spark, return_stages=True)
         timings["kg_cc_100k"] = bench_cc(spark)
         if os.environ.get("GONDAR_BENCH_SCALING", "1") != "0":
             scaling = bench_scaling_10x(spark, sf_dir)
@@ -434,10 +457,26 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extraction": extraction,
     }
+    if stage_walls:
+        payload["pipeline_stages"] = stage_walls
+    # the scaling_10x / sf1 campaigns outgrew a single stdout line (the
+    # driver's tail capture parses the LAST line only, and round 3's giant
+    # combined line came back "parsed": null) — extras go to a FILE; stdout
+    # stays exactly one compact JSON line, printed last.
+    extras = {}
     if scaling is not None:
-        payload["scaling_10x"] = scaling
+        extras["scaling_10x"] = scaling
     if sf1 is not None:
-        payload["sf1"] = sf1
+        extras["sf1"] = sf1
+    if extras:
+        out_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(out_dir, exist_ok=True)
+        extras_path = os.path.join(out_dir, "extras_latest.json")
+        with open(extras_path, "w") as f:
+            json.dump(extras, f, indent=1)
+        payload["extras_file"] = os.path.relpath(
+            extras_path, os.path.dirname(os.path.abspath(__file__)))
     print(json.dumps(payload))
     spark.stop()
 
