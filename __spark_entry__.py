@@ -349,6 +349,19 @@ def q_knn_per_probe(spark, sf_dir):
     )
 
 
+def q_ivf_knn_per_probe(spark, sf_dir):
+    """Batched IVF ANN (ivf_topk_per_probe): per-probe top-k through a
+    cell-bucketed JOIN — no broadcast of the probe set, the corpus-scale
+    ANN self-dedup shape. Oracle is EXACT: the SQL mirrors the trained
+    centroids, both cell assignments and the per-probe ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk_per_probe(
+        emb, probes, _trained_centroids(spark, sf_dir),
+        k=3, n_probe=_IVF_NPROBE,
+    ).select("probe_id", "data_id", "cosine", "rank")
+
+
 # --- similarity: IVF ANN (k-means-TRAINED centroids, exact oracle) -------------
 # Training is similarity.kmeans_train: deterministic md5-seeded init + fixed
 # Lloyd iterations over integer-quantized sums, so the DuckDB oracle re-derives
@@ -1005,6 +1018,30 @@ def q_embedding_near_dup_exact(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup_ivf(spark, sf_dir):
+    """ANN-assisted near-dup (similarity.embedding_near_dup): candidate
+    pairs only within shared IVF cells (each vector replicated into its
+    n_probe nearest trained cells — never all-pairs), exact cosine filter
+    after — the embedding analog of LSH->verify. Same planted corpus as
+    embedding_near_dup_exact; the oracle mirrors the full IVF blocking
+    chain, so agreement with the exact query is hash-checked, not
+    sampled."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        .select("vec_id", "embedding")
+    )
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    both = emb.unionByName(dups)
+    return similarity.embedding_near_dup(
+        both, _trained_centroids(spark, sf_dir),
+        threshold=0.9999, n_probe=_IVF_NPROBE,
+    )
+
+
 def q_orders_running_total(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     w = (
@@ -1218,6 +1255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_projections": q_union_projections,
         "distinct_pairs": q_distinct_pairs,
         "latest_event_per_user": q_latest_event_per_user,
+        "ivf_knn_per_probe": q_ivf_knn_per_probe,
+        "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "scan_pushdown_topk": q_scan_pushdown_topk,
         "semi_join_fetch": q_semi_join_fetch,
         "meta_projection": q_meta_projection,
@@ -1689,6 +1728,74 @@ SELECT i AS media_id,
        psha AS payload_sha256,
        {fcols}
 FROM h2"""
+
+
+def _ivf_knn_per_probe_sql() -> str:
+    """Exact mirror of q_ivf_knn_per_probe: trained cents, one-cell data
+    assignment, n_probe-cell probe assignment, cell equi-join candidates,
+    per-probe rank. Same rounding/tiebreaks as the Spark operator."""
+    cos_vc = _r6("list_cosine_similarity(v.v, c.c)")
+    cos_pc = _r6("list_cosine_similarity(p.pv, c.c)")
+    cos_dp = _r6("list_cosine_similarity(d.v, pc.pv)")
+    return f"""
+WITH {_kmeans_cents_ctes()}, corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assign AS (
+    SELECT v.vec_id, v.v, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {cos_vc} DESC, c.cell ASC) AS rn
+    FROM corpus v CROSS JOIN cents c
+), celled AS (
+    SELECT vec_id, v, cell FROM assign WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS probe_id, v AS pv FROM corpus WHERE vec_id < 5
+), pcells AS (
+    SELECT probe_id, pv, cell FROM (
+        SELECT p.probe_id, p.pv, c.cell,
+               row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY {cos_pc} DESC, c.cell ASC) AS rn
+        FROM probes p CROSS JOIN cents c) WHERE rn <= {_IVF_NPROBE}
+), cand AS (
+    SELECT pc.probe_id, d.vec_id AS data_id, {cos_dp} AS cosine
+    FROM pcells pc JOIN celled d USING (cell)
+    WHERE d.vec_id != pc.probe_id
+), ranked AS (
+    SELECT probe_id, data_id, cosine,
+           row_number() OVER (PARTITION BY probe_id
+               ORDER BY cosine DESC, data_id ASC) AS rank
+    FROM cand
+)
+SELECT probe_id, data_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3"""
+
+
+def _embedding_near_dup_ivf_sql() -> str:
+    """Exact mirror of q_embedding_near_dup_ivf: the planted corpus
+    replicated into its n_probe nearest trained cells, pair candidates
+    only within shared cells, exact cosine filter after."""
+    cos_vc = _r6("list_cosine_similarity(v.v, c.c)")
+    cos_ab = _r6("list_cosine_similarity(a.v, b.v)")
+    return f"""
+WITH {_kmeans_cents_ctes()}, base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id < 150
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(embedding::DOUBLE[], x -> x * 1.001) AS v
+    FROM embeddings WHERE vec_id < 150 AND vec_id % 20 = 0
+), assign AS (
+    SELECT v.vec_id, v.v, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {cos_vc} DESC, c.cell ASC) AS rn
+    FROM base v CROSS JOIN cents c
+), celled AS (
+    SELECT vec_id, v, cell FROM assign WHERE rn <= {_IVF_NPROBE}
+), pairs AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cosine
+    FROM celled a JOIN celled b USING (cell)
+    WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9999"""
 
 
 def _ivf_topk_sql() -> str:
@@ -2222,6 +2329,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": _kg_edges_sql(),
         "kg_entities": _kg_entities_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "ivf_knn_per_probe": _ivf_knn_per_probe_sql(),
+        "embedding_near_dup_ivf": _embedding_near_dup_ivf_sql(),
         "ivf_topk_quantized": _ivf_topk_quantized_sql(),
         "ivf_recall": _ivf_recall_sql(),
         "topk_hot_entities": """

@@ -96,6 +96,69 @@ def cosine_topk_per_probe(
     )
 
 
+def ivf_topk_per_probe(
+    data: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF ANN: approximate top-k for EVERY probe ROW — the shape
+    corpus-scale ANN self-dedup needs (every document probing the index),
+    which the single-``query_vec`` ivf_topk API cannot express and
+    cosine_topk_per_probe only handles for broadcastable probe sets.
+
+    Plan shape, sized for a probe set as large as the corpus:
+      * data side: one-cell index assignment (assign_cells n_probe=1);
+      * probe side: replicated into its n_probe nearest cells — the
+        recall knob, paid as probe-side fan-out only;
+      * candidates: an equi-JOIN on cell id — both sides shuffle-partition
+        by cell, NO broadcast of the probe set; a hot cell is ordinary
+        join-key skew, which AQE skew-join splits (unlike window skew);
+      * per-probe top-k in two phases: rank within (probe_id, cell) first,
+        so at most n_probe*k rows per probe reach the final per-probe
+        window — the probe_id shuffle moves candidate digests, never the
+        cell contents.
+
+    Each (probe, data) pair occurs at most once (data lives in exactly one
+    cell), so no dedup pass is needed. Self-pairs (same id on both sides)
+    are excluded, mirroring cosine_topk_per_probe. Exact per the probed
+    cells — recall vs exact kNN is governed by n_probe, measured by
+    ivf_recall-style gates on planted neighborhoods."""
+    d = assign_cells(data, centroids, vec_col=vec_col, n_probe=1).select(
+        "cell",
+        F.col(id_col).alias("data_id"),
+        F.col(vec_col).cast("array<double>").alias("dv"),
+    )
+    p = assign_cells(probes, centroids, vec_col=vec_col, n_probe=n_probe).select(
+        "cell",
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+    )
+    scored = (
+        d.join(p, "cell")
+        .filter(F.col("data_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "data_id", "cell",
+            round_half_up(cosine_col(F.col("dv"), F.col("pv")), 6).alias("cosine"),
+        )
+    )
+    w1 = Window.partitionBy("probe_id", "cell").orderBy(
+        F.desc("cosine"), F.asc("data_id"))
+    pruned = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "cell")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("data_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _centroid_df(spark, centroids: list[list[float]]):
     """Centroid set as a ONE-ROW DataFrame holding array<struct<cell,cvec>>.
 

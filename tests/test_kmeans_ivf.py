@@ -189,3 +189,83 @@ def test_int8_dequantized_search_domain(spark):
     assert all(abs(a - b) <= sc / 2 + 1e-12 for a, b in zip(out[0], orig))
     # grid membership: value = mn + k*sc for integer k
     assert all(abs(round(v / sc) * sc - v) < 1e-9 for v in out[0])
+
+
+def test_ivf_topk_per_probe_recall_and_parity(spark):
+    """Batched IVF probes: on a clustered corpus with planted
+    neighborhoods, per-probe results must (a) match brute-force kNN with
+    recall >= 0.9 and (b) never fabricate pairs brute force ranks lower
+    than the probed-cell approximation allows."""
+    from gondar_spark.operators.similarity import (
+        cosine_topk_per_probe,
+        ivf_topk_per_probe,
+    )
+
+    df = _clustered(spark, n=90)
+    cents = kmeans_train(df, k=3, n_iter=2)
+    probes = df.filter(F.col("vec_id") < 6)
+    ivf = ivf_topk_per_probe(df, probes, cents, k=3, n_probe=2)
+    exact = cosine_topk_per_probe(df, probes, k=3)
+    got = {(r["probe_id"], r["data_id"]) for r in ivf.collect()}
+    want = {(r["probe_id"], r["data_id"]) for r in exact.collect()}
+    assert len(got) == len(want) == 18
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"recall {recall} on planted clusters"
+    # ranks are 1..k per probe, ids never self-paired
+    rows = ivf.collect()
+    assert all(r["probe_id"] != r["data_id"] for r in rows)
+    for pid in {r["probe_id"] for r in rows}:
+        assert sorted(r["rank"] for r in rows if r["probe_id"] == pid) == [1, 2, 3]
+
+
+def test_ivf_topk_per_probe_no_probe_broadcast(spark):
+    """The probe set joins the index on cell id as a SHUFFLE join — the
+    only broadcast in the plan is the 1-row centroid payload (twice: one
+    per assign_cells), never the probe DataFrame; a corpus-scale probe
+    set must not be collected to the driver."""
+    df = _clustered(spark, n=90)
+    cents = kmeans_train(df, k=3, n_iter=1)
+    from gondar_spark.operators.similarity import ivf_topk_per_probe
+
+    plan = (
+        ivf_topk_per_probe(df, df, cents, k=3, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both broadcasts are the BroadcastNestedLoop centroid attachments
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "BroadcastHashJoin" not in plan  # the cell join shuffles
+
+
+def test_embedding_near_dup_ivf_agrees_with_exact_on_planted(spark):
+    """IVF-blocked near-dup finds exactly the exact-join pairs at a
+    same-direction threshold on a clustered corpus with planted scaled
+    duplicates (cosine == 1 to their source)."""
+    from gondar_spark.operators.similarity import (
+        cosine_col,
+        embedding_near_dup,
+    )
+    from gondar_spark.functions.numeric import round_half_up
+
+    base = _clustered(spark, n=60)
+    dups = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5).alias("embedding"),
+    )
+    both = base.unionByName(dups)
+    cents = kmeans_train(base, k=3, n_iter=2)
+    got = embedding_near_dup(both, cents, threshold=0.9999, n_probe=2)
+    g = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    v = both.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = v.withColumnsRenamed({"vec_id": "id_a", "v": "v_a"})
+    b = v.withColumnsRenamed({"vec_id": "id_b", "v": "v_b"})
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                round_half_up(cosine_col(F.col("v_a"), F.col("v_b")), 6)
+                .alias("cosine"))
+        .filter(F.col("cosine") >= 0.9999)
+    )
+    w = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    # every planted (src, src+1000) pair present; full agreement with exact
+    assert {(i, i + 1000) for i in range(0, 60, 10)} <= g
+    assert g == w
