@@ -545,6 +545,39 @@ def q_streaming_exact_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_minhash_pairs(spark, sf_dir):
+    """Near-dup on INGEST: the planted-dup corpus drained through a REAL
+    stream into stateful_minhash_pairs (applyInPandasWithState keyed on
+    band_key — the committed signature store; each arrival verifies exact
+    shingle Jaccard against its bands' stores). The DISTINCT of the
+    drained update-mode output shares batch minhash_lsh_pairs' oracle, so
+    the streaming rewrite is hash-verified, and it is drain-batching
+    independent (pairs are emitted whenever the later doc arrives,
+    deduped across bands here)."""
+    import tempfile
+    import uuid
+
+    from gondar_spark.streaming.jobs import stateful_minhash_pairs
+
+    stage_dir = tempfile.mkdtemp(prefix="gondar_stream_mh_")
+    _docs_with_planted_dups(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{stage_dir}/docs")
+    schema = spark.read.parquet(f"{stage_dir}/docs").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .load(f"{stage_dir}/docs")
+    )
+    pairs = stateful_minhash_pairs(
+        stream, n_hashes=16, bands=8, seed=SEED, threshold=0.5)
+    name = "q_stream_mh_" + uuid.uuid4().hex[:8]
+    q = (
+        pairs.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("id_a", "id_b", "jaccard").distinct()
+
+
 # --- Structured Streaming, oracle-checked: a REAL readStream run (file
 #     source -> watermarked tumbling window -> memory sink) drained with
 #     availableNow; the drained result must equal the batch SQL oracle ---------
@@ -1244,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_events": q_streaming_hourly_events,
         "streaming_repo_totals": q_streaming_repo_totals,
         "streaming_exact_dedup": q_streaming_exact_dedup,
+        "streaming_minhash_pairs": q_streaming_minhash_pairs,
         "asof_event_lookup": q_asof_event_lookup,
         "asof_event_lookup_bucketed": q_asof_event_lookup_bucketed,
         "range_join_recent": q_range_join_recent,
@@ -2453,4 +2487,5 @@ def _with_rewrite_aliases(oracles: dict[str, str]) -> dict[str, str]:
     oracles["events_topk_users_bucketed"] = oracles["events_topk_users"]
     oracles["ivf_topk_indexed"] = oracles["ivf_topk"]
     oracles["streaming_exact_dedup"] = oracles["exact_dedup"]
+    oracles["streaming_minhash_pairs"] = oracles["minhash_lsh_pairs"]
     return oracles

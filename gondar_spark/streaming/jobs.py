@@ -113,6 +113,116 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def stateful_minhash_pairs(
+    doc_stream: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    seed: int = 1001,
+    threshold: float = 0.5,
+    max_band: int | None = None,
+) -> DataFrame:
+    """Streaming near-dup detection on ingest: batch ``minhash_lsh_pairs``
+    semantics carried across micro-batches.
+
+    Composition: the batch shingle/MinHash/band projections are per-row
+    DataFrame expressions, so they compose with readStream unchanged; the
+    band-key SELF-JOIN (stream-stream joins need watermarks and would
+    bound how late a duplicate may arrive) is replaced by
+    ``applyInPandasWithState`` keyed on band_key — the committed signature
+    store. State per band = the (id, shingle-set) of every doc seen in
+    that band; each arriving doc verifies exact shingle Jaccard against
+    its band's store (same round-half-up-4 formula as the batch verify
+    join), emits qualifying (id_a < id_b, jaccard) rows, and joins the
+    store. Drained with availableNow over a static corpus, the DISTINCT
+    of the output equals batch ``minhash_lsh_pairs`` exactly (a pair
+    sharing b bands is emitted up to b times — same reason the batch path
+    needs its pair-distinct; dedup what you sink).
+
+    SCALE: state shards by band_key (high cardinality — bands spread
+    across all executors); a band's verify cost is |band| per arrival,
+    the same O(|block|^2) a degenerate LSH block costs the batch join.
+    ``max_band`` is that guard: a band at the cap stops ACCUMULATING
+    (arrivals still verify against the frozen store, matching the batch
+    mega-block cap's drop-don't-crash posture; capped bands are flagged
+    in the `capped` output column so the loss is observable, never
+    silent)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import _minhash_cols, shingled
+
+    rows = n_hashes // bands
+    base = shingled(doc_stream.select(F.col(id_col), F.col(col)),
+                    col, id_col, shingle_n)
+    sig = base.select("id", "sh", *_minhash_cols(F.col("sh"), n_hashes, seed))
+    band_arr = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    ).cast("binary")
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    blocks = sig.select("id", "sh", F.explode(band_arr).alias("band_key"))
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, shs = state.get
+            ids = list(ids)
+            sets = [set(s) for s in shs]
+        else:
+            ids, sets = [], []
+        known = set(ids)
+        out = {"id_a": [], "id_b": [], "jaccard": [], "capped": []}
+        new = []
+        for pdf in pdfs:
+            for i, sh in zip(pdf["id"], pdf["sh"]):
+                new.append((int(i), set(sh)))
+        # ascending id order makes within-batch pairing deterministic and
+        # batching-independent (each doc pairs against all lower ids)
+        new.sort(key=lambda t: t[0])
+        for nid, nsh in new:
+            if nid in known:
+                continue  # idempotent re-ingest of a known doc
+            at_cap = max_band is not None and len(ids) >= max_band
+            for oid, osh in zip(ids, sets):
+                inter = len(nsh & osh)
+                union = len(nsh) + len(osh) - inter
+                j = math.floor((inter / union) * 1e4 + 0.5) / 1e4 if union else 0.0
+                if j >= threshold:
+                    a, b = (oid, nid) if oid < nid else (nid, oid)
+                    out["id_a"].append(a)
+                    out["id_b"].append(b)
+                    out["jaccard"].append(j)
+                    out["capped"].append(at_cap)
+            if not at_cap:
+                ids.append(nid)
+                sets.append(nsh)
+                known.add(nid)
+        state.update((ids, [sorted(s) for s in sets]))
+        yield pd.DataFrame(out)
+
+    return blocks.groupBy("band_key").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "id_a long, id_b long, jaccard double, capped boolean"
+        ),
+        stateStructType="ids array<long>, shs array<array<string>>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_exact_dedup(doc_stream: DataFrame, col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Streaming exact dedup: the batch operator's md5-groupBy semantics

@@ -219,3 +219,80 @@ def test_stateful_exact_dedup_across_micro_batches(spark, tmp_path):
     assert len(final) == 3
     # the duplicate hash was touched by two batches -> emitted twice
     assert sum(1 for r in rows if r["text_hash"] == same_hash) == 2
+
+
+def test_stateful_minhash_pairs_across_micro_batches(spark, tmp_path):
+    """Near-dup on ingest: a near-duplicate arriving in a LATER
+    micro-batch must pair against the committed signature store from the
+    earlier one; the drained DISTINCT equals the batch operator on the
+    same corpus (shared semantics, batching-independent)."""
+    import pandas as pd
+
+    from gondar_spark.operators.dedup import minhash_lsh_pairs
+    from gondar_spark.streaming.jobs import stateful_minhash_pairs
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    near = "a quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content with no shared shingles at all ok"
+    src = tmp_path / "mh"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 3], "text": [txt, other]}).to_parquet(
+        src / "a.parquet")
+    pd.DataFrame({"doc_id": [7, 9], "text": [near, txt]}).to_parquet(
+        src / "b.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).format("parquet").load(str(src))
+    )
+    out = stateful_minhash_pairs(stream, threshold=0.5)
+    name = "t_stream_mh"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.table(name).select("id_a", "id_b", "jaccard").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(1, txt), (3, other), (7, near), (9, txt)], ["doc_id", "text"])
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(batch_df, threshold=0.5).collect()
+    }
+    assert got == want
+    assert {(1, 9), (1, 7), (7, 9)} <= {(a, b) for a, b, _ in got}
+
+
+def test_stateful_minhash_pairs_max_band_cap(spark, tmp_path):
+    """max_band freezes a band's store at the cap: later arrivals still
+    verify against the frozen store (flagged capped=true) but stop
+    accumulating — the streaming analog of the batch mega-block drop."""
+    import pandas as pd
+
+    from gondar_spark.streaming.jobs import stateful_minhash_pairs
+
+    # four identical docs -> every band holds all of them
+    docs = {"doc_id": [1, 2, 3, 4], "text": ["same text here ok"] * 4}
+    src = tmp_path / "mhcap"
+    src.mkdir()
+    pd.DataFrame(docs).to_parquet(src / "a.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet").load(str(src))
+    )
+    out = stateful_minhash_pairs(stream, threshold=0.5, max_band=2)
+    q = (
+        out.writeStream.format("memory").queryName("t_stream_mhcap")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_stream_mhcap").collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    # docs 3,4 verified against the frozen {1,2} store but never joined
+    # it: (3,4) must be ABSENT, their store pairs flagged capped
+    assert (3, 4) not in pairs
+    assert {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)} == pairs
+    assert all(r["capped"] for r in rows if r["id_b"] in (3, 4))
+    assert not any(r["capped"] for r in rows if (r["id_a"], r["id_b"]) == (1, 2))
