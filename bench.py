@@ -186,6 +186,48 @@ SCALING_QUERIES = [
 ]
 
 
+def _ann_scaling_probes():
+    """FULL-CORPUS ANN probes for the scaling campaign. The registry's
+    oracled ANN queries pin constant working sets (5 probes / the
+    vec_id<150 planted corpus) so their 10x ratio would measure overhead,
+    not the operator; these run the same operators in the corpus-scale
+    shape: every vector probes the index (ANN self-kNN — the self-dedup
+    access pattern) and near-dup blocks over ALL vectors.
+
+    The cell count scales WITH the corpus (k ~ n/128, the 100 TB design:
+    cell SIZE held constant, so per-cell join work stays flat and total
+    work grows linearly — a fixed k would make the cell joins quadratic
+    in the growth factor by construction). Training cost amortizes out
+    via the per-dir centroid cache (best-of-N reps — the build-once/
+    query-many serving shape), so ratios isolate the assignment +
+    cell-join + verify scaling."""
+    from gondar_spark.operators import similarity
+
+    cache: dict = {}
+
+    def cents(spark, d):
+        if d not in cache:
+            emb = spark.read.parquet(f"{d}/embeddings.parquet")
+            k = max(16, emb.count() // 128)
+            cache[d] = similarity.kmeans_train(emb, k=k, n_iter=2)
+        return cache[d]
+
+    def p_ivf_knn_self(spark, d):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return similarity.ivf_topk_per_probe(
+            emb, emb, cents(spark, d), k=5, n_probe=2)
+
+    def p_near_dup_full(spark, d):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return similarity.embedding_near_dup(
+            emb, cents(spark, d), threshold=0.99, n_probe=2)
+
+    return {
+        "ivf_knn_self_full": p_ivf_knn_self,
+        "embedding_near_dup_ivf_full": p_near_dup_full,
+    }
+
+
 def bench_scaling_10x(spark, sf_dir: str) -> dict:
     """Per-query data-scaling ratios: run each probe query on the sf
     corpus and on a 10x replicated-but-distinct corpus (each replica's
@@ -219,11 +261,35 @@ def bench_scaling_10x(spark, sf_dir: str) -> dict:
         big = big.unionByName(r)
 
     # materialize the 10x corpus to parquet so scans cost the same shape
-    # as the sf table (a cached union would dodge the IO the sf run pays)
-    # every probe query reads ONLY the documents table, so the 10x dir
-    # needs nothing else
+    # as the sf table (a cached union would dodge the IO the sf run pays);
+    # the probe queries read documents + embeddings only
     tmp = tempfile.mkdtemp(prefix="gondar_scale10_")
     big.repartition(32).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # replica i = CYCLIC DIMENSION SHIFT by 7*i: cross-replica cosines stay
+    # low for generic vectors, so the 10x corpus's true near-dup answer
+    # grows ~linearly (an additive shift or pure scale would make every
+    # replica a near-dup of its source — a quadratic answer BY
+    # CONSTRUCTION, same trap as suffix-tagged documents above)
+    dim = len(emb.select("embedding").first()["embedding"])
+    emb_reps = [
+        emb.select(
+            (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.element_at(
+                    F.col("embedding"), ((j + F.lit(7 * i)) % dim) + 1
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(10)
+    ]
+    emb_big = emb_reps[0]
+    for r in emb_reps[1:]:
+        emb_big = emb_big.unionByName(r)
+    emb_big.repartition(32).write.mode("overwrite").parquet(
+        f"{tmp}/embeddings.parquet")
 
     qs = entrymod.queries()
     out = {}
@@ -234,19 +300,21 @@ def bench_scaling_10x(spark, sf_dir: str) -> dict:
     # ~2x true ratio into anything from 1 to 10; the min of N=2 is stable
     reps = int(os.environ.get("GONDAR_BENCH_SCALE_REPS", "2"))
 
-    def probe(name, d):
+    def probe(fn, d):
         best = float("inf")
         for _ in range(reps):
             dedup_ops.release_caches()
             spark.catalog.clearCache()  # no cross-probe cache bleed
             t0 = time.time()
-            _force(qs[name](spark, d))
+            _force(fn(spark, d))
             best = min(best, time.time() - t0)
         return best
 
-    for name in SCALING_QUERIES:
-        t1 = probe(name, sf_dir)
-        t10 = probe(name, tmp)
+    probes = {name: qs[name] for name in SCALING_QUERIES}
+    probes.update(_ann_scaling_probes())
+    for name, fn in probes.items():
+        t1 = probe(fn, sf_dir)
+        t10 = probe(fn, tmp)
         out[name] = {
             "t_sf": round(t1, 3),
             "t_10x": round(t10, 3),
