@@ -471,6 +471,28 @@ def q_ivf_topk_indexed(spark, sf_dir):
     )
 
 
+def q_ivf_knn_per_probe_indexed(spark, sf_dir):
+    """Batched probes against the MATERIALIZED IVF index: the corpus-side
+    cell assignment is the precomputed on-disk layout, so a probe batch
+    pays only its own assignment + the cell join (build-once/query-many).
+    Shares ivf_knn_per_probe's exact oracle — identical trained centroids
+    and assignment rules -> identical result."""
+    import tempfile
+
+    key = ("ivf_index_full", sf_dir)
+    if key not in _CENTROID_CACHE:
+        path = tempfile.mkdtemp(prefix="gondar_ivf_idx_full_")
+        similarity.build_ivf_index(
+            _t(spark, sf_dir, "embeddings"),
+            _trained_centroids(spark, sf_dir), path,
+        )
+        _CENTROID_CACHE[key] = path
+    probes = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk_per_probe_indexed(
+        spark, _CENTROID_CACHE[key], probes, k=3, n_probe=_IVF_NPROBE,
+    ).select("probe_id", "data_id", "cosine", "rank")
+
+
 def q_topk_hot_entities(spark, sf_dir):
     from gondar_spark.operators.topk import top_k_by_count
 
@@ -1290,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": q_distinct_pairs,
         "latest_event_per_user": q_latest_event_per_user,
         "ivf_knn_per_probe": q_ivf_knn_per_probe,
+        "ivf_knn_per_probe_indexed": q_ivf_knn_per_probe_indexed,
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "scan_pushdown_topk": q_scan_pushdown_topk,
         "semi_join_fetch": q_semi_join_fetch,
@@ -2488,4 +2511,5 @@ def _with_rewrite_aliases(oracles: dict[str, str]) -> dict[str, str]:
     oracles["ivf_topk_indexed"] = oracles["ivf_topk"]
     oracles["streaming_exact_dedup"] = oracles["exact_dedup"]
     oracles["streaming_minhash_pairs"] = oracles["minhash_lsh_pairs"]
+    oracles["ivf_knn_per_probe_indexed"] = oracles["ivf_knn_per_probe"]
     return oracles

@@ -459,6 +459,64 @@ def ivf_topk_indexed(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_topk_per_probe_indexed(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched probes against a MATERIALIZED IVF index (build_ivf_index):
+    identical results to ivf_topk_per_probe over the same centroids, but
+    the corpus-side cell assignment — the full-corpus pass — is the one
+    precomputed on disk, so a probe batch pays only its own assignment
+    plus the cell join. This is the serving shape: build once, then any
+    number of probe batches (including the corpus itself, for ANN
+    self-dedup) amortize the index build. Cells the probe batch never
+    selects are pruned by the semi-join pushed into the partitioned scan;
+    a batch that touches every cell reads everything — correct, that IS
+    its working set."""
+    cents = [
+        list(r["cvec"])
+        for r in sorted(
+            spark.read.parquet(f"{path}/centroids").collect(),
+            key=lambda r: r["cell"],
+        )
+    ]
+    p = assign_cells(probes, cents, vec_col=vec_col, n_probe=n_probe).select(
+        "cell",
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pv"),
+    )
+    d = spark.read.parquet(f"{path}/cells").select(
+        "cell",
+        F.col(id_col).alias("data_id"),
+        F.col(vec_col).alias("dv"),
+    )
+    scored = (
+        d.join(p, "cell")
+        .filter(F.col("data_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "data_id", "cell",
+            round_half_up(cosine_col(F.col("dv"), F.col("pv")), 6).alias("cosine"),
+        )
+    )
+    w1 = Window.partitionBy("probe_id", "cell").orderBy(
+        F.desc("cosine"), F.asc("data_id"))
+    pruned = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "cell")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("data_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def with_int8_dequantized(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "embedding"
 ) -> DataFrame:

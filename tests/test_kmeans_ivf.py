@@ -269,3 +269,24 @@ def test_embedding_near_dup_ivf_agrees_with_exact_on_planted(spark):
     # every planted (src, src+1000) pair present; full agreement with exact
     assert {(i, i + 1000) for i in range(0, 60, 10)} <= g
     assert g == w
+
+
+def test_ivf_topk_per_probe_indexed_matches_in_memory(spark, tmp_path):
+    """The materialized-index batched-probe path returns exactly the
+    in-memory ivf_topk_per_probe result over the same centroids."""
+    from gondar_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_per_probe,
+        ivf_topk_per_probe_indexed,
+    )
+
+    df = _clustered(spark, n=90)
+    cents = kmeans_train(df, k=3, n_iter=2)
+    path = str(tmp_path / "idx")
+    build_ivf_index(df, cents, path)
+    probes = df.filter(F.col("vec_id") < 6)
+    mem = ivf_topk_per_probe(df, probes, cents, k=3, n_probe=2)
+    idx = ivf_topk_per_probe_indexed(spark, path, probes, k=3, n_probe=2)
+    m = {tuple(r) for r in mem.collect()}
+    i = {tuple(r) for r in idx.collect()}
+    assert m == i and len(m) == 18
