@@ -293,3 +293,34 @@ def test_cc_frees_previous_round_checkpoints(spark):
     assert labels.count() == 301
     leftover = persistent() - before
     assert len(leftover) <= 1, leftover
+
+
+def test_cc_accelerated_equals_plain(spark):
+    """_min_jump path compression: identical labels to the unaccelerated
+    loop on adversarial shapes (cycle, clique, chain+hub, random), in
+    fewer rounds. Valid only on large-star output (strictly decreasing
+    edges) — this is the end-to-end equality gate for that argument."""
+    import random
+
+    random.seed(23)
+    shapes = []
+    rows = [(f"c{i}", f"c{(i + 1) % 9}") for i in range(9)]               # cycle
+    rows += [(f"k{i}", f"k{j}") for i in range(6) for j in range(6) if i < j]
+    rows += [(f"h{i}", f"h{i + 1}") for i in range(40)]                   # chain
+    rows += [("h0", f"h{i}") for i in (10, 20, 30)]                       # hub
+    shapes.append(rows)
+    shapes.append(
+        [(f"v{random.randrange(50)}", f"v{random.randrange(50)}")
+         for _ in range(120)]
+    )
+    for rows in shapes:
+        df = spark.createDataFrame(rows, ["norm_a", "norm_b"])
+        plain = {
+            (r["norm"], r["component"])
+            for r in connected_components(df, accelerate=False).collect()
+        }
+        fast = {
+            (r["norm"], r["component"])
+            for r in connected_components(df, accelerate=True).collect()
+        }
+        assert plain == fast and len(fast) > 0
