@@ -1097,6 +1097,36 @@ def q_embedding_near_dup_ivf(spark, sf_dir):
     )
 
 
+# --- deterministic sampling / split (training-data corpus ops) ----------------
+# md5(seed:id)-derived uniforms, never F.rand(): retry-idempotent, stable
+# across partition layouts, and EXACTLY reproducible in the oracle (a
+# seeded sample() could only be rows-only checked). Row-local filters —
+# no shuffle; the only correct shape for "sample 1% of 100 TB".
+def q_deterministic_sample(spark, sf_dir):
+    from gondar_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf_dir, "documents"), 0.1
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_train_test_split(spark, sf_dir):
+    from gondar_spark.operators.sampling import train_test_split
+
+    return train_test_split(
+        _t(spark, sf_dir, "documents"), test_fraction=0.2
+    ).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    from gondar_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 0.05, "es": 0.5, "de": 1.0},
+    ).select("doc_id", "lang")
+
+
 def q_orders_running_total(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     w = (
@@ -1314,6 +1344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_per_probe": q_ivf_knn_per_probe,
         "ivf_knn_per_probe_indexed": q_ivf_knn_per_probe_indexed,
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+        "deterministic_sample": q_deterministic_sample,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
         "scan_pushdown_topk": q_scan_pushdown_topk,
         "semi_join_fetch": q_semi_join_fetch,
         "meta_projection": q_meta_projection,
@@ -2313,6 +2346,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND (floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
                    / 1000000.0) >= 0.9999
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5('0:' || doc_id), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.1
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5('0:' || doc_id), 1, 8))::BIGINT
+                             / 4294967296.0 < 0.2
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('0:' || doc_id), 1, 8))::BIGINT
+                  / 4294967296.0 <
+                  CASE lang WHEN 'en' THEN 0.05 WHEN 'es' THEN 0.5
+                       WHEN 'de' THEN 1.0 ELSE 0.0 END
         """,
         "weighted_value_udaf": """
             SELECT event_type,

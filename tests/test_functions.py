@@ -315,3 +315,49 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(media).collect()
     assert plan and all(r["frame_idx"] >= 0 for r in plan)
     assert {r["mime"] for r in plan} == {"video/mp4"}
+
+
+def test_deterministic_sampling_properties(spark):
+    """Hash-derived sampling: stable across runs/partitionings, disjoint
+    seeds decorrelated, fraction approximately honored, and split
+    assignment is leakage-proof (a row's split never changes when the
+    corpus grows)."""
+    from gondar_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+        train_test_split,
+    )
+
+    df = spark.range(0, 2000, 1, 8).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"] for r in deterministic_sample(df, 0.2).collect()}
+    s2 = {r["doc_id"] for r in
+          deterministic_sample(df.repartition(3), 0.2).collect()}
+    assert s1 == s2                      # layout-independent
+    assert 0.15 < len(s1) / 2000 < 0.25  # fraction honored
+    sA = {r["doc_id"] for r in deterministic_sample(df, 0.2, seed=7).collect()}
+    assert sA != s1                      # seeds decorrelate
+
+    split_small = dict(
+        (r["doc_id"], r["split"])
+        for r in train_test_split(df.filter(F.col("doc_id") < 500)).collect()
+    )
+    split_big = dict(
+        (r["doc_id"], r["split"]) for r in train_test_split(df).collect()
+    )
+    # growing the corpus never reassigns an existing row's split
+    assert all(split_big[k] == v for k, v in split_small.items())
+
+    strat = df.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("rare"))
+    out = stratified_sample(strat, {"en": 0.1, "rare": 1.0})
+    n_en = out.filter(F.col("lang") == "en").count()
+    n_rare = out.filter(F.col("lang") == "rare").count()
+    assert n_rare == 1000                # keep-all stratum intact
+    assert 50 < n_en < 150               # downsampled stratum ~10%
+
+    with pytest.raises(ValueError):
+        deterministic_sample(df, 1.5)
+    with pytest.raises(ValueError):
+        train_test_split(df, -0.1)
+    with pytest.raises(ValueError):
+        stratified_sample(strat, {"en": 2.0})
