@@ -297,6 +297,21 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end training-data cleaning (dedup.clean_corpus): quality
+    gate -> exact dedup -> LSH+CC near-dup removal, one operator call —
+    the composition a corpus user actually ships. The oracle mirrors the
+    ENTIRE chain (quality formula, keeper selection, LSH pairs over the
+    survivors, recursive closure), so stage interactions — not just the
+    stages — are hash-verified."""
+    from gondar_spark.operators.dedup import clean_corpus
+
+    return clean_corpus(
+        _docs_with_planted_dups(spark, sf_dir),
+        quality_threshold=0.35, jaccard_threshold=0.5, seed=SEED,
+    ).select("doc_id", "token_count", "quality_score")
+
+
 # --- multimodal: Arrow binary-payload feature extraction, oracle-checked ------
 def q_media_features(spark, sf_dir):
     """Binary media payloads through the mapInPandas feature UDF. The
@@ -1347,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
+        "corpus_clean": q_corpus_clean,
         "scan_pushdown_topk": q_scan_pushdown_topk,
         "semi_join_fetch": q_semi_join_fetch,
         "meta_projection": q_meta_projection,
@@ -1436,10 +1452,14 @@ def _minhash_sql(n_hashes: int, src: str) -> str:
     return _SHINGLES_CTE.format(src=src) + f"SELECT doc_id,\n       {hcols}\nFROM sh"
 
 
-def _lsh_cte(threshold: float) -> str:
+def _lsh_cte(threshold: float, src: str | None = None) -> str:
     """The minhash-LSH pair chain as composable CTE text (no WITH
     keyword) ending in `lsh_pairs(id_a, id_b, jaccard)` — shared by the
-    minhash_lsh_pairs oracle and the dedup_clusters recursive closure."""
+    minhash_lsh_pairs oracle, the dedup_clusters recursive closure, and
+    (with ``src`` overridden to the quality+exact-dedup survivors) the
+    corpus_clean composition. ``src`` must yield (doc_id, text)."""
+    if src is None:
+        src = _PLANTED_DUPS
     bands = 8
     rows = 2
     band_exprs = ", ".join(
@@ -1452,7 +1472,7 @@ def _lsh_cte(threshold: float) -> str:
     )
     return f"""toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-    FROM {_PLANTED_DUPS} docs
+    FROM {src} docs
 ), sh AS (
     SELECT doc_id,
            CASE WHEN len(w) < 3
@@ -1486,6 +1506,65 @@ def _lsh_cte(threshold: float) -> str:
 def _lsh_pairs_sql(threshold: float) -> str:
     return ("WITH " + _lsh_cte(threshold)
             + "\nSELECT id_a, id_b, jaccard FROM lsh_pairs")
+
+
+def _corpus_clean_sql(quality_threshold: float, threshold: float) -> str:
+    """The full cleaning chain mirrored: quality gate (with_quality_score
+    formula) -> exact-dedup keepers (min id per md5(text)) -> LSH pairs
+    over the SURVIVORS -> recursive min-label closure -> drop cluster
+    non-keepers. Output = surviving (doc_id, token_count, quality_score)."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    quality = f"""qstats AS (
+    SELECT doc_id, text,
+           len(toks)::BIGINT AS token_count,
+           CASE WHEN len(toks) > 0
+                THEN (floor((len(list_filter(toks, t -> t IN ({stop_list})))::DOUBLE
+                           / len(toks)) * 10000.0 + 0.5) / 10000.0)
+                ELSE 0.0 END AS swr,
+           CASE WHEN length(text) > 0
+                THEN (floor(((length(text) -
+                     length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+                     / length(text)) * 10000.0 + 0.5) / 10000.0)
+                ELSE 0.0 END AS pr,
+           len(toks) AS n_tok
+    FROM (SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(text), '\\s+') END AS toks
+          FROM {_PLANTED_DUPS} docs)
+), q AS (
+    SELECT doc_id, text, token_count,
+           (floor((least(1.0, n_tok / 64.0) * 0.5
+                 + swr * 0.3
+                 + (1.0 - least(1.0, pr * 10)) * 0.2) * 10000.0 + 0.5) / 10000.0)
+               AS quality_score
+    FROM qstats
+), qpass AS (
+    SELECT * FROM q WHERE quality_score >= {quality_threshold}
+), exact AS (
+    SELECT doc_id, text, token_count, quality_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS _rn
+        FROM qpass) WHERE _rn = 1
+)"""
+    return ("WITH RECURSIVE " + quality + ", "
+            + _lsh_cte(threshold, src="exact") + """
+, sym AS (
+    SELECT lpad(id_a::VARCHAR, 8, '0') AS s, lpad(id_b::VARCHAR, 8, '0') AS d
+    FROM lsh_pairs
+    UNION
+    SELECT lpad(id_b::VARCHAR, 8, '0'), lpad(id_a::VARCHAR, 8, '0')
+    FROM lsh_pairs
+), reach(a, b) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+    UNION
+    SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s
+), losers AS (
+    SELECT CAST(a AS BIGINT) AS doc_id
+    FROM reach GROUP BY a HAVING min(b) != a
+)
+SELECT e.doc_id, e.token_count, e.quality_score
+FROM exact e LEFT JOIN losers l USING (doc_id)
+WHERE l.doc_id IS NULL""")
 
 
 def _dedup_clusters_sql(threshold: float) -> str:
@@ -2045,6 +2124,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_lsh_pairs": _lsh_pairs_sql(0.5),
         "dedup_clusters": _dedup_clusters_sql(0.5),
+        "corpus_clean": _corpus_clean_sql(0.35, 0.5),
         "media_features": _media_features_sql(),
         "bm25_rank": _bm25_sql(_BM25_TERMS),
         "quantize_error": """

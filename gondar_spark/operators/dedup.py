@@ -469,3 +469,63 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def clean_corpus(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    quality_threshold: float = 0.35,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    seed: int = 1001,
+    cc_max_iter: int = 20,
+) -> DataFrame:
+    """The full training-data cleaning chain in one operator — what a
+    corpus user actually runs before tokenization:
+
+      1. quality gate (textstats.with_quality_score >= threshold) —
+         dropping junk FIRST so a filtered doc can never be a dedup
+         keeper that shadows a good duplicate;
+      2. exact dedup — keeper = min id per content hash;
+      3. near-dup removal — MinHash/LSH pairs -> connected components
+         (the same iterative CC the KG pipeline uses), keep only each
+         cluster's min id.
+
+    Output: the surviving rows with token_count / quality_score
+    attached. Requires NUMERIC ids (they are zero-padded through CC so
+    the string-min label equals the numeric min, same trick as
+    dedup_clusters). Every stage is a composition of the individually
+    oracled operators, and the composition itself carries an exact
+    DuckDB oracle (__spark_entry__.q_corpus_clean)."""
+    from ..functions.textstats import with_quality_score
+    from .cc import connected_components
+
+    q = with_quality_score(df, col).filter(
+        F.col("quality_score") >= quality_threshold
+    )
+    hashed = q.withColumn("_h", F.md5(F.col(col).cast("binary")))
+    keep = hashed.groupBy("_h").agg(F.min(id_col).alias("_keep"))
+    exact = (
+        hashed.join(keep, "_h")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_h", "_keep")
+    )
+    pairs = minhash_lsh_pairs(
+        exact, col, id_col, shingle_n, n_hashes, bands, seed,
+        jaccard_threshold,
+    )
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 8, "0")
+
+    labels = connected_components(
+        pairs.select(pad("id_a").alias("norm_a"), pad("id_b").alias("norm_b")),
+        cc_max_iter,
+    )
+    losers = labels.filter(F.col("norm") != F.col("component")).select(
+        F.col("norm").cast("long").alias(id_col)
+    )
+    return exact.join(losers, id_col, "left_anti")

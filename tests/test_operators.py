@@ -324,3 +324,27 @@ def test_cc_accelerated_equals_plain(spark):
             for r in connected_components(df, accelerate=True).collect()
         }
         assert plain == fast and len(fast) > 0
+
+
+def test_clean_corpus_keeps_keepers_drops_dups(spark):
+    """clean_corpus end-to-end: junk filtered, exact copies reduced to
+    min-id keeper, near-dup cluster non-keepers dropped."""
+    from gondar_spark.operators.dedup import clean_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the woods to find some food for the winter")
+    near = ("a quick brown fox jumps over the lazy dog and then runs "
+            "far away into the woods to find some food for the winter")
+    rows = [
+        (1, good), (2, good),          # exact pair -> keep 1
+        (3, near),                      # near-dup of 1 -> dropped
+        (4, "!!! ??? ..."),             # junk -> quality-filtered
+        (5, "completely different text about database join algorithms "
+            "and the merge strategies used by modern query optimizers ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = clean_corpus(df, quality_threshold=0.2, jaccard_threshold=0.5)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 5}
+    cols = set(out.columns)
+    assert {"doc_id", "text", "token_count", "quality_score"} <= cols
