@@ -224,7 +224,8 @@ def stateful_minhash_pairs(
 
 
 def stateful_exact_dedup(doc_stream: DataFrame, col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming exact dedup: the batch operator's md5-groupBy semantics
     carried across micro-batches with ``applyInPandasWithState``. State
     per content hash = (keeper id, copy count); keeper = min id ever seen
@@ -238,7 +239,24 @@ def stateful_exact_dedup(doc_stream: DataFrame, col: str = "text",
     The keeper id keeps its NATIVE type: integral ids use a long state
     column, everything else (string doc ids, like batch ``exact_dedup``
     accepts) a string one — min() is the same orderable-column semantics
-    either way, so the batch/streaming twins stay interchangeable."""
+    either way, so the batch/streaming twins stay interchangeable.
+
+    STATE LIFECYCLE: by default state lives forever (exact-forever dedup
+    — matches batch, but memory grows with distinct documents, fine for
+    bounded backfills). ``state_ttl_ms`` turns on processing-time
+    eviction: a hash IDLE for the TTL is dropped from the store, so
+    memory is bounded by the distinct-docs-per-TTL-window rate and a
+    duplicate arriving after a long gap is re-admitted as new —
+    dedup-over-a-sliding-horizon, the standard unbounded-stream
+    tradeoff, chosen explicitly, never silently. (A key that keeps
+    receiving data never times out — Spark resets the clock on every
+    batch that touches the key.)
+
+    TTL mode needs a CONTINUOUS trigger (e.g. processingTime): timers
+    fire on micro-batch boundaries, and a trigger(availableNow) drain
+    leaves pending timers that keep the query alive after the data is
+    exhausted — use the default exact-forever mode for bounded
+    backfills (that is also the mode the batch oracle verifies)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
@@ -253,6 +271,13 @@ def stateful_exact_dedup(doc_stream: DataFrame, col: str = "text",
     )
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # evict the idle hash; the (empty) input stream must still be
+            # drained — abandoning it mid-protocol kills the Arrow worker
+            for _ in pdfs:
+                pass
+            state.remove()
+            return
         if state.exists:
             keep, n = state.get
         else:
@@ -263,14 +288,20 @@ def stateful_exact_dedup(doc_stream: DataFrame, col: str = "text",
                 keep = v if keep is None or v < keep else keep
                 n += 1
         state.update((keep, n))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {"text_hash": [key[0]], "keep_id": [keep], "n_copies": [n]}
         )
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None else GroupStateTimeout.NoTimeout
+    )
     return hashed.groupBy("text_hash").applyInPandasWithState(
         update,
         outputStructType=f"text_hash string, keep_id {id_sql}, n_copies long",
         stateStructType=f"keep {id_sql}, n long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )

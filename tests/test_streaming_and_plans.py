@@ -296,3 +296,58 @@ def test_stateful_minhash_pairs_max_band_cap(spark, tmp_path):
     assert {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)} == pairs
     assert all(r["capped"] for r in rows if r["id_b"] in (3, 4))
     assert not any(r["capped"] for r in rows if (r["id_a"], r["id_b"]) == (1, 2))
+
+
+def test_stateful_exact_dedup_state_ttl_evicts_idle_hashes(spark, tmp_path):
+    """state_ttl_ms: a hash idle past the TTL is evicted between
+    micro-batches, so a duplicate arriving after the gap is re-admitted
+    as NEW (keeper re-derived, count reset) — bounded-memory
+    dedup-over-a-horizon. Needs a continuous trigger (timers fire on
+    micro-batch boundaries; availableNow would idle on pending timers)."""
+    import hashlib
+    import time
+
+    import pandas as pd
+
+    from gondar_spark.streaming.jobs import stateful_exact_dedup
+
+    src = tmp_path / "ttl"
+    src.mkdir()
+    # batch 1: doc 5; filler batches advance processing time past the
+    # 1 ms TTL (evicting the idle hash); last batch: duplicate, higher id
+    pd.DataFrame({"doc_id": [5], "text": ["same text"]}).to_parquet(
+        src / "a.parquet")
+    pd.DataFrame({"doc_id": [50], "text": ["filler one"]}).to_parquet(
+        src / "b.parquet")
+    pd.DataFrame({"doc_id": [51], "text": ["filler two"]}).to_parquet(
+        src / "c.parquet")
+    pd.DataFrame({"doc_id": [9], "text": ["same text"]}).to_parquet(
+        src / "d.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).format("parquet").load(str(src))
+    )
+    out = stateful_exact_dedup(stream, state_ttl_ms=1)
+    q = (
+        out.writeStream.format("memory").queryName("t_ttl_on")
+        .outputMode("update").trigger(processingTime="1 second").start()
+    )
+    h = hashlib.md5(b"same text").hexdigest()
+    emits = []
+    try:
+        for _ in range(55):
+            time.sleep(2)
+            emits = [
+                (r["keep_id"], r["n_copies"])
+                for r in spark.table("t_ttl_on").collect()
+                if r["text_hash"] == h
+            ]
+            if (9, 1) in emits:
+                break
+    finally:
+        q.stop()
+    # doc 5 admitted, evicted while idle, doc 9 re-admitted as new —
+    # never (5, 2) (that is the exact-forever answer, covered by the
+    # default-mode oracle test)
+    assert (5, 1) in emits and (9, 1) in emits
+    assert (5, 2) not in emits
