@@ -38,6 +38,19 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--incremental", action="store_true",
                    help="file-level resume: extract only files absent "
                         "from the committed extract_done ledger")
+    p.add_argument("--prune-removed", action="store_true",
+                   help="with --incremental: drop ledger/hash rows for "
+                        "files the registered corpus no longer contains "
+                        "(default assumes an append-only corpus)")
+    p.add_argument("--clean-corpus", default=None, metavar="PARQUET",
+                   help="run the corpus-cleaning chain (quality gate -> "
+                        "exact dedup -> LSH+CC near-dup removal) over a "
+                        "(doc_id, text) parquet instead of the KG job; "
+                        "writes survivors to --clean-out")
+    p.add_argument("--clean-out", default=None,
+                   help="output parquet dir for --clean-corpus")
+    p.add_argument("--quality-threshold", type=float, default=0.35)
+    p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--chunk-lines", type=int, default=64)
     p.add_argument("--link-threshold", type=float, default=0.60)
     p.add_argument("--shuffle-partitions", type=int, default=32)
@@ -66,6 +79,27 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
         warehouse=args.warehouse,
     )
+    if args.clean_corpus:
+        if not args.clean_out:
+            print("--clean-corpus requires --clean-out", file=sys.stderr)
+            return 2
+        from gondar_spark.operators.dedup import clean_corpus, release_caches
+
+        docs = spark.read.parquet(args.clean_corpus)
+        n_in = docs.count()
+        cleaned = clean_corpus(
+            docs,
+            quality_threshold=args.quality_threshold,
+            jaccard_threshold=args.jaccard_threshold,
+        )
+        cleaned.write.mode("overwrite").parquet(args.clean_out)
+        release_caches()
+        n_out = spark.read.parquet(args.clean_out).count()
+        print(json.dumps({"clean_corpus": {
+            "input_rows": n_in, "kept_rows": n_out,
+            "dropped_rows": n_in - n_out, "out": args.clean_out}}))
+        return 0
+
     cfg = JobConfig(
         warehouse=args.warehouse,
         run_id=args.run_id,
@@ -93,7 +127,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     executed = pipe.run(source_df=source_df, force=args.force,
                         incremental=args.incremental,
-                        source_path=args.source_path)
+                        source_path=args.source_path,
+                        prune_removed=args.prune_removed)
     summary = {
         "executed": executed,
         "tables": {
