@@ -1116,7 +1116,7 @@ def q_embedding_near_dup_ivf(spark, sf_dir):
 # md5(seed:id)-derived uniforms, never F.rand(): retry-idempotent, stable
 # across partition layouts, and EXACTLY reproducible in the oracle (a
 # seeded sample() could only be rows-only checked). Row-local filters —
-# no shuffle; the only correct shape for "sample 1% of 100 TB".
+# no shuffle, no Exchange (plan-asserted) — one pass over the scan.
 def q_deterministic_sample(spark, sf_dir):
     from gondar_spark.operators.sampling import deterministic_sample
 

@@ -11,9 +11,12 @@ F.rand():
     the EXACT row set — a seeded sample() could only be rows-only
     checked.
 
-All ops are row-local projections/filters: no shuffle, pushed to the
-scan, cost O(rows) with zero data movement — the only correct shape for
-"sample 1% of 100 TB".
+All ops are row-local projections/filters: no shuffle, no Exchange in
+the plan — they evaluate inside the scan's whole-stage-codegen span
+(an md5 expression is not a parquet-pushable predicate, so the bytes
+are still read; what matters at 100 TB is that NOTHING moves: cost is
+one pass over the scan, and the filter composes with whatever pushable
+predicates surround it).
 """
 
 from __future__ import annotations

@@ -361,3 +361,19 @@ def test_deterministic_sampling_properties(spark):
         train_test_split(df, -0.1)
     with pytest.raises(ValueError):
         stratified_sample(strat, {"en": 2.0})
+
+
+def test_sampling_plans_have_no_exchange(spark):
+    """Sampling/split are row-local: no Exchange anywhere in the plan —
+    the property that makes them free at corpus scale (the md5 filter is
+    not a parquet-pushable predicate, but nothing ever moves)."""
+    from gondar_spark.operators.sampling import (
+        deterministic_sample,
+        train_test_split,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for out in (deterministic_sample(df, 0.1),
+                train_test_split(df, 0.2)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
