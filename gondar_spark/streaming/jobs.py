@@ -123,6 +123,7 @@ def stateful_minhash_pairs(
     seed: int = 1001,
     threshold: float = 0.5,
     max_band: int | None = None,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming near-dup detection on ingest: batch ``minhash_lsh_pairs``
     semantics carried across micro-batches.
@@ -148,7 +149,12 @@ def stateful_minhash_pairs(
     (arrivals still verify against the frozen store, matching the batch
     mega-block cap's drop-don't-crash posture; capped bands are flagged
     in the `capped` output column so the loss is observable, never
-    silent)."""
+    silent). ``state_ttl_ms`` bounds state over TIME the way max_band
+    bounds it over SIZE: a band idle past the TTL drops its whole
+    signature store (near-dup-over-a-sliding-horizon; a duplicate
+    arriving after the gap pairs with nothing). Same contract as
+    stateful_exact_dedup's TTL: needs a continuous trigger — an
+    availableNow drain idles on pending timers."""
     import math
 
     import pandas as pd
@@ -176,6 +182,13 @@ def stateful_minhash_pairs(
     blocks = sig.select("id", "sh", F.explode(band_arr).alias("band_key"))
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle band: drop its signature store; drain the (empty)
+            # input stream first — abandoning it kills the Arrow worker
+            for _ in pdfs:
+                pass
+            state.remove()
+            return
         if state.exists:
             ids, shs = state.get
             ids = list(ids)
@@ -210,8 +223,14 @@ def stateful_minhash_pairs(
                 sets.append(nsh)
                 known.add(nid)
         state.update((ids, [sorted(s) for s in sets]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out)
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None else GroupStateTimeout.NoTimeout
+    )
     return blocks.groupBy("band_key").applyInPandasWithState(
         update,
         outputStructType=(
@@ -219,7 +238,7 @@ def stateful_minhash_pairs(
         ),
         stateStructType="ids array<long>, shs array<array<string>>",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

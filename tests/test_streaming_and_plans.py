@@ -351,3 +351,62 @@ def test_stateful_exact_dedup_state_ttl_evicts_idle_hashes(spark, tmp_path):
     # default-mode oracle test)
     assert (5, 1) in emits and (9, 1) in emits
     assert (5, 2) not in emits
+
+
+def test_stateful_minhash_pairs_state_ttl_drops_idle_bands(spark, tmp_path):
+    """state_ttl_ms on the band store: a near-duplicate arriving after
+    its source's bands idled past the TTL pairs with NOTHING (store
+    dropped) — near-dup-over-a-horizon; without TTL the same drain finds
+    the pair."""
+    import time
+
+    import pandas as pd
+
+    from gondar_spark.streaming.jobs import stateful_minhash_pairs
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    near = "a quick brown fox jumps over the lazy dog again and again"
+    filler1 = "completely different content with no shared shingles at all"
+    filler2 = "another unrelated block of words that matches nothing else"
+
+    def drive(ttl, name):
+        src = tmp_path / f"mh_{name}"
+        src.mkdir()
+        pd.DataFrame({"doc_id": [1], "text": [txt]}).to_parquet(
+            src / "a.parquet")
+        pd.DataFrame({"doc_id": [2], "text": [filler1]}).to_parquet(
+            src / "b.parquet")
+        pd.DataFrame({"doc_id": [3], "text": [filler2]}).to_parquet(
+            src / "c.parquet")
+        pd.DataFrame({"doc_id": [9], "text": [near]}).to_parquet(
+            src / "d.parquet")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).format("parquet").load(str(src))
+        )
+        out = stateful_minhash_pairs(stream, threshold=0.5,
+                                     state_ttl_ms=ttl)
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("update")
+        )
+        if ttl is None:
+            qq = q.trigger(availableNow=True).start()
+            qq.awaitTermination()
+        else:
+            qq = q.trigger(processingTime="1 second").start()
+            deadline = time.time() + 110
+            # wait until the last file's batch has been processed: doc 9
+            # only produces rows when paired, so poll query progress
+            while time.time() < deadline:
+                time.sleep(2)
+                p = qq.lastProgress
+                if p and p["sources"][0].get("latestOffset") and \
+                        p["numInputRows"] == 0 and p["batchId"] > 6:
+                    break
+            qq.stop()
+        return {(r["id_a"], r["id_b"])
+                for r in spark.table(name).collect()}
+
+    assert (1, 9) in drive(None, "t_mh_ttl_off")
+    assert (1, 9) not in drive(1, "t_mh_ttl_on")
