@@ -287,7 +287,7 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
     def pad(c):
-        return F.lpad(F.col(c).cast("string"), 8, "0")
+        return F.lpad(F.col(c).cast("string"), 19, "0")
 
     edges = pairs.select(pad("id_a").alias("norm_a"), pad("id_b").alias("norm_b"))
     labels = cc.connected_components(edges, 20)
@@ -1549,10 +1549,10 @@ def _corpus_clean_sql(quality_threshold: float, threshold: float) -> str:
     return ("WITH RECURSIVE " + quality + ", "
             + _lsh_cte(threshold, src="exact") + """
 , sym AS (
-    SELECT lpad(id_a::VARCHAR, 8, '0') AS s, lpad(id_b::VARCHAR, 8, '0') AS d
+    SELECT lpad(id_a::VARCHAR, 19, '0') AS s, lpad(id_b::VARCHAR, 19, '0') AS d
     FROM lsh_pairs
     UNION
-    SELECT lpad(id_b::VARCHAR, 8, '0'), lpad(id_a::VARCHAR, 8, '0')
+    SELECT lpad(id_b::VARCHAR, 19, '0'), lpad(id_a::VARCHAR, 19, '0')
     FROM lsh_pairs
 ), reach(a, b) AS (
     SELECT s, s FROM (SELECT DISTINCT s FROM sym)
@@ -1577,13 +1577,13 @@ def _dedup_clusters_sql(threshold: float) -> str:
         SELECT id_a AS id FROM lsh_pairs
         UNION ALL SELECT id_b FROM lsh_pairs)
 ), sym AS (
-    SELECT lpad(id_a::VARCHAR, 8, '0') AS s, lpad(id_b::VARCHAR, 8, '0') AS d
+    SELECT lpad(id_a::VARCHAR, 19, '0') AS s, lpad(id_b::VARCHAR, 19, '0') AS d
     FROM lsh_pairs
     UNION
-    SELECT lpad(id_b::VARCHAR, 8, '0'), lpad(id_a::VARCHAR, 8, '0')
+    SELECT lpad(id_b::VARCHAR, 19, '0'), lpad(id_a::VARCHAR, 19, '0')
     FROM lsh_pairs
 ), reach(a, b) AS (
-    SELECT lpad(id::VARCHAR, 8, '0'), lpad(id::VARCHAR, 8, '0') FROM nodes
+    SELECT lpad(id::VARCHAR, 19, '0'), lpad(id::VARCHAR, 19, '0') FROM nodes
     UNION
     SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s
 )

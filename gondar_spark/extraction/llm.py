@@ -298,12 +298,18 @@ class HttpChatTransport:
                 status, reply_body = self._post(
                     self.endpoint, headers, body, self.timeout_s
                 )
-            except ConnectionRefusedError as e:
+            except OSError as e:
                 # Provably unbilled — the TCP connect never succeeded, so
-                # nothing reached the server. Always safe to retry.
-                last_err = TransportError(f"connection refused: {e}")
-                continue
-            except OSError as e:  # read timeout, reset mid-reply, ...
+                # nothing reached the server. Always safe to retry. The
+                # refusal may arrive bare or wrapped (urllib's URLError
+                # carries it as .reason; _urllib_post unwraps, but a
+                # custom http_post may not), so check both shapes.
+                refused = isinstance(e, ConnectionRefusedError) or isinstance(
+                    getattr(e, "reason", None), ConnectionRefusedError
+                )
+                if refused:
+                    last_err = TransportError(f"connection refused: {e}")
+                    continue
                 # AMBIGUOUS: the server may have completed the call.
                 if not self.retry_ambiguous:
                     self.n_failures += 1
@@ -334,7 +340,15 @@ def _urllib_post(url: str, headers: dict, body: bytes,
                  timeout_s: float) -> tuple[int, str]:
     """Default http_post: stdlib urllib with a hard timeout (covers both
     connect and read). Kept trivially small — everything above it is
-    tested against an injected fake."""
+    tested against an injected fake.
+
+    urllib wraps socket-level failures in URLError with the original
+    exception as ``reason``; a wrapped ConnectionRefusedError is
+    UNWRAPPED and re-raised as itself so the caller's provably-unbilled
+    retry branch (``except ConnectionRefusedError``) actually sees it —
+    the wrapper would otherwise land in the generic-OSError ambiguous
+    branch and burn quarantine budget on a failure that never reached
+    the server."""
     import urllib.error
     import urllib.request
 
@@ -344,6 +358,10 @@ def _urllib_post(url: str, headers: dict, body: bytes,
             return resp.status, resp.read().decode("utf-8")
     except urllib.error.HTTPError as e:
         return e.code, e.read().decode("utf-8", "replace")
+    except urllib.error.URLError as e:
+        if isinstance(e.reason, ConnectionRefusedError):
+            raise e.reason
+        raise
 
 
 def parse_reply(content: str) -> list[tuple[str, str, str, int]]:

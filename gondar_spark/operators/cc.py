@@ -182,6 +182,15 @@ def connected_components(
     for _ in range(max_iter):
         half = _large_star(e)
         if accelerate:
+            # _min_jump references the large-star output twice (min-target
+            # aggregate + join left side). Deliberately NOT persisted:
+            # both references hang off the same shuffle output (the round
+            # reads from the previous round's checkpoint, so recomputing
+            # the projection over it is cheap), and a persist was MEASURED
+            # 2x slower per round (24s vs 11s on the 100k bench) — the
+            # InMemoryRelation write + cache scan costs more than the
+            # recompute it saves at every scale where rounds are
+            # shuffle-bound.
             half = _min_jump(half)
         e = _small_star(half)
         if checkpoint:

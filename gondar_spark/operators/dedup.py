@@ -165,6 +165,29 @@ def _minhash_cols(shingle_col, n_hashes: int, seed: int):
     ]
 
 
+def band_key_array(n_hashes: int, bands: int):
+    """LSH band keys from signature columns h0..h{n_hashes-1}:
+    '{b}:' || md5(h_i | h_j | ...). ONE definition — the batch pair join
+    (minhash_lsh_pairs) and the streaming band-state operator
+    (streaming.jobs.stateful_minhash_pairs) share their hash-parity
+    oracle, which holds only while both derive band keys through this
+    exact expression."""
+    rows = n_hashes // bands
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    ).cast("binary")
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     col: str = "text",
@@ -178,24 +201,11 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (id_a < id_b, jaccard) via MinHash+LSH blocking
     then exact shingle-Jaccard verification. The self-join is on band keys
     only — never all-pairs."""
-    rows = n_hashes // bands
     # base feeds the signature AND both sides of the verify join — persist
     # so shingling+hashing runs once (see ngram_jaccard_pairs note)
     base = _tracked_persist(shingled(df, col, id_col, shingle_n))
     sig = base.select("id", *_minhash_cols(F.col("sh"), n_hashes, seed))
-    band_arr = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                    ).cast("binary")
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_arr = band_key_array(n_hashes, bands)
     # blocks carry IDS ONLY: the band self-join and pair-dedup shuffle
     # 16-byte keys, not shingle arrays; arrays re-attach by id afterwards
     # (two hash joins on a far smaller distinct-pair set).
@@ -519,7 +529,10 @@ def clean_corpus(
     )
 
     def pad(c):
-        return F.lpad(F.col(c).cast("string"), 8, "0")
+        # width 19 = max int64 digit count: lpad TRUNCATES
+        # beyond the width, which would silently corrupt labels
+        # for doc_id >= 10^8 at a width of 8
+        return F.lpad(F.col(c).cast("string"), 19, "0")
 
     labels = connected_components(
         pairs.select(pad("id_a").alias("norm_a"), pad("id_b").alias("norm_b")),

@@ -137,6 +137,17 @@ def ivf_topk_per_probe(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pv"),
     )
+    return _per_probe_cell_topk(d, p, k)
+
+
+def _per_probe_cell_topk(d: DataFrame, p: DataFrame, k: int) -> DataFrame:
+    """Shared tail of the batched-probe operators: cell equi-join ->
+    self-pair exclusion -> round-6 cosine -> two-phase per-probe top-k.
+    ONE definition — ivf_topk_per_probe and its materialized-index twin
+    share an exact oracle, which holds only while the join filter,
+    rounding and tiebreaks stay byte-identical between them. ``d`` is
+    (cell, data_id, dv: array<double>), ``p`` is
+    (cell, probe_id, pv: array<double>)."""
     scored = (
         d.join(p, "cell")
         .filter(F.col("data_id") != F.col("probe_id"))
@@ -495,26 +506,7 @@ def ivf_topk_per_probe_indexed(
         F.col(id_col).alias("data_id"),
         F.col(vec_col).alias("dv"),
     )
-    scored = (
-        d.join(p, "cell")
-        .filter(F.col("data_id") != F.col("probe_id"))
-        .select(
-            "probe_id", "data_id", "cell",
-            round_half_up(cosine_col(F.col("dv"), F.col("pv")), 6).alias("cosine"),
-        )
-    )
-    w1 = Window.partitionBy("probe_id", "cell").orderBy(
-        F.desc("cosine"), F.asc("data_id"))
-    pruned = (
-        scored.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= k)
-        .drop("_r1", "cell")
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("data_id"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _per_probe_cell_topk(d, p, k)
 
 
 def with_int8_dequantized(

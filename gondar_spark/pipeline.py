@@ -377,10 +377,14 @@ class Pipeline:
         ``COMPACT_AFTER`` accumulate (or immediately when ``force``, the
         prune_removed path). ``extract_done`` compacts to DISTINCT keys,
         semi-joined against ``keep_keys`` (the registered corpus) when
-        pruning; ``extract_metrics`` folds as-is. Crash-safe: the base
-        snapshot is written before segments are dropped, and every reader
-        keys on distinct (repo, path, commit) so a crash between the two
-        steps only leaves duplicate rows, never lost ones."""
+        pruning; ``extract_metrics`` folds as-is. Crash-safety: the base
+        snapshot is written before segments are dropped, so a crash
+        between the two steps duplicates rows, never loses them — for
+        extract_done that is invisible (every consumer keys on distinct
+        (repo, path, commit)); for extract_metrics, whose rows have no
+        identity, one fold's worth of observability rows could double-
+        count until the next fold rewrites the base. Metrics inform,
+        they never gate — the correctness ledger is extract_done."""
         meta = {"stage": "ledger_compact", "run_id": self.cfg.run_id}
         if self.io.exists("extract_done"):
             n_seg = len(self.io.segments("extract_done"))

@@ -119,6 +119,14 @@ class TableIO:
             os.rename(tmp, final)
             if aside is not None:
                 shutil.rmtree(aside, ignore_errors=True)
+            # a base write REPLACES the table: any append segments from
+            # earlier incremental runs are now stale and must not be
+            # unioned back in by read() — a forced full re-run would
+            # otherwise resurrect pre-rewrite ledger/metric rows.
+            # (compact() reads base+segments BEFORE calling write, so the
+            # fold is complete by the time this drop runs.)
+            for seg in self.segments(name):
+                shutil.rmtree(self._path(seg), ignore_errors=True)
             # drop Spark's cached file listing for the swapped path —
             # otherwise later reads resolve to the pre-swap part files
             self.spark.catalog.refreshByPath(final)

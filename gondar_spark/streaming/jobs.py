@@ -159,27 +159,24 @@ def stateful_minhash_pairs(
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    from ..operators.dedup import _minhash_cols, shingled
+    from ..operators.dedup import _minhash_cols, band_key_array, shingled
 
-    rows = n_hashes // bands
+    # ids keep their NATIVE type, same contract as the batch twin and
+    # stateful_exact_dedup: integral ids -> long state/output columns,
+    # everything else (string doc ids) -> string
+    id_type = doc_stream.schema[id_col].dataType
+    integral = isinstance(id_type, (ByteType, ShortType, IntegerType, LongType))
+    id_sql, coerce = ("long", int) if integral else ("string", str)
+
     base = shingled(doc_stream.select(F.col(id_col), F.col(col)),
                     col, id_col, shingle_n)
     sig = base.select("id", "sh", *_minhash_cols(F.col("sh"), n_hashes, seed))
-    band_arr = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                    ).cast("binary")
-                ),
-            )
-            for b in range(bands)
-        ]
+    blocks = sig.select(
+        "id", "sh",
+        F.explode(band_key_array(n_hashes, bands)).alias("band_key"),
     )
-    blocks = sig.select("id", "sh", F.explode(band_arr).alias("band_key"))
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -200,7 +197,7 @@ def stateful_minhash_pairs(
         new = []
         for pdf in pdfs:
             for i, sh in zip(pdf["id"], pdf["sh"]):
-                new.append((int(i), set(sh)))
+                new.append((coerce(i), set(sh)))
         # ascending id order makes within-batch pairing deterministic and
         # batching-independent (each doc pairs against all lower ids)
         new.sort(key=lambda t: t[0])
@@ -234,9 +231,9 @@ def stateful_minhash_pairs(
     return blocks.groupBy("band_key").applyInPandasWithState(
         update,
         outputStructType=(
-            "id_a long, id_b long, jaccard double, capped boolean"
+            f"id_a {id_sql}, id_b {id_sql}, jaccard double, capped boolean"
         ),
-        stateStructType="ids array<long>, shs array<array<string>>",
+        stateStructType=f"ids array<{id_sql}>, shs array<array<string>>",
         outputMode="update",
         timeoutConf=timeout_conf,
     )

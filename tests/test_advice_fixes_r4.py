@@ -240,3 +240,92 @@ def test_prune_removed_drops_stale_keys(spark, tmp_path):
     assert pipe.io.read("extract_done").distinct().count() == n_small
     assert pipe.io.read("source_hashes").count() == n_small
     assert pipe.io.segments("extract_done") == []  # prune forces a fold
+
+
+# ------------------------------------------------- review-pass regressions
+def test_cc_pad_width_survives_large_ids(spark):
+    """Cluster-label padding must not truncate 9+ digit ids: two near-dup
+    groups with ids around 10^9 must resolve to their own numeric-min
+    keepers (a width-8 lpad silently cross-linked unrelated documents)."""
+    from gondar_spark.operators.dedup import clean_corpus
+
+    t1 = ("the quick brown fox jumps over the lazy dog and then runs far "
+          "away into the woods to find some food for the long cold winter")
+    t2 = ("a quick brown fox jumps over the lazy dog and then runs far "
+          "away into the woods to find some food for the long cold winter")
+    u1 = ("completely different text about database join algorithms and "
+          "the merge strategies used by modern distributed query engines")
+    u2 = ("completely different text about database join algorithm and "
+          "the merge strategies used by modern distributed query engines")
+    rows = [
+        (9_876_543_210, t1), (1_234_567_890, t2),   # cluster A
+        (9_876_543_211, u1), (123_456_789, u2),     # cluster B
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r["doc_id"] for r in
+            clean_corpus(df, quality_threshold=0.0).collect()}
+    # numeric-min keepers survive; the larger cluster members are dropped
+    assert kept == {1_234_567_890, 123_456_789}
+
+
+def test_http_urlerror_wrapped_refusal_is_retried():
+    """urllib wraps a refused connect in URLError(reason=
+    ConnectionRefusedError); the provably-unbilled retry branch must see
+    through the wrapper even with retry_ambiguous=False."""
+    import urllib.error
+
+    calls = []
+
+    def post(url, headers, body, timeout_s):
+        calls.append(1)
+        if len(calls) < 2:
+            raise urllib.error.URLError(ConnectionRefusedError("refused"))
+        return 200, ('{"choices":[{"message":{"role":"assistant",'
+                     '"content":"ok"}}],"usage":{}}')
+
+    t = _transport(post, retry_ambiguous=False)
+    assert _req(t)["choices"][0]["message"]["content"] == "ok"
+    assert len(calls) == 2
+
+
+def test_base_write_drops_stale_segments(spark, tmp_path):
+    """A base-table write REPLACES the table: segments appended by
+    earlier incremental runs must not be unioned back by read()."""
+    from gondar_spark.sources.tables import TableIO
+
+    io = TableIO(spark, str(tmp_path / "wh"), use_iceberg=False)
+    io.write(spark.range(5), "t")
+    io.append(spark.range(5, 8), "t")
+    assert io.read("t").count() == 8 and len(io.segments("t")) == 1
+    io.write(spark.range(3), "t")  # full rewrite (e.g. --force re-run)
+    assert io.segments("t") == []
+    assert io.read("t").count() == 3
+
+
+def test_stateful_minhash_pairs_string_ids(spark, tmp_path):
+    """The streaming twin accepts string doc ids like the batch operator
+    (native-type state, lexicographic a < b ordering)."""
+    import pandas as pd
+
+    from gondar_spark.streaming.jobs import stateful_minhash_pairs
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    near = "a quick brown fox jumps over the lazy dog again and again"
+    src = tmp_path / "mhs"
+    src.mkdir()
+    pd.DataFrame({"doc_id": ["r/b@1", "r/a@1"],
+                  "text": [txt, near]}).to_parquet(src / "a.parquet")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .format("parquet").load(str(src))
+    )
+    out = stateful_minhash_pairs(stream, threshold=0.5)
+    assert dict(out.dtypes)["id_a"] == "string"
+    q = (
+        out.writeStream.format("memory").queryName("t_mh_str")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    pairs = {(r["id_a"], r["id_b"])
+             for r in spark.table("t_mh_str").collect()}
+    assert pairs == {("r/a@1", "r/b@1")}

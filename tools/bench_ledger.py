@@ -35,6 +35,11 @@ from gondar_spark.synth import SynthConfig, generate_source_df  # noqa: E402
 def main() -> None:
     batch_files = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    if n_batches < 4:
+        # head/tail flatness needs >= 3 walls on each end; fewer batches
+        # would divide by a fixed 3 (bogus) or crash on an empty loop
+        print("n_batches must be >= 4", file=sys.stderr)
+        sys.exit(2)
     spark = build_session(
         app_name="gondar_bench_ledger", master="local[32]",
         shuffle_partitions=32,
@@ -85,8 +90,9 @@ def main() -> None:
         t0 = time.time()
         pipe.run(source_path=corpus_dir, incremental=True)
         noop_wall = round(time.time() - t0, 3)
-        head = sum(walls[:3]) / 3
-        tail = sum(walls[-3:]) / 3
+        k = min(3, len(walls) // 2) or 1
+        head = sum(walls[:k]) / k
+        tail = sum(walls[-k:]) / k
         print(json.dumps({
             "batch_files": batch_files,
             "n_batches": n_batches,
