@@ -260,19 +260,24 @@ class Pipeline:
                 tables = {}
                 if n_new > 0:
                     tables["triples_raw"] = old.unionByName(new_triples)
-                if n_quar > 0:
-                    # persist quarantine even when no triples were added
-                    # (A15: never silently drop), deduped on the FAILURE
-                    # identity (file key + error message) so re-extraction
-                    # doesn't stack duplicates — but distinct failures of
-                    # one file (e.g. two poisoned chunks with different
-                    # errors) are all kept.
-                    quar_all = self.io.read("quarantine").unionByName(
-                        new_quarantine)
-                    tables["quarantine"] = quar_all.dropDuplicates(
-                        ["repo", "path", "commit", "obj"])
                 self._run_stage("triples_raw", tables, force=True)
                 ledger_meta = {"stage": "triples_raw", "run_id": cfg.run_id}
+                if n_quar > 0:
+                    # persist quarantine even when no triples were added
+                    # (A15: never silently drop) — an O(new) SEGMENT like
+                    # the other ledgers, appended BEFORE extract_done so a
+                    # crash re-extracts rather than losing failure records.
+                    # Anti-join on the FAILURE identity (file key + error
+                    # message) keeps re-extraction from stacking
+                    # duplicates while distinct failures of one file all
+                    # land.
+                    fresh_quar = new_quarantine.join(
+                        self.io.read("quarantine").select(
+                            "repo", "path", "commit", "obj"),
+                        ["repo", "path", "commit", "obj"], "left_anti",
+                    ).dropDuplicates(["repo", "path", "commit", "obj"])
+                    self.io.append(fresh_quar, "quarantine",
+                                   meta=ledger_meta)
                 self.io.append(new_metrics, "extract_metrics",
                                meta=ledger_meta)
                 self.io.append(todo_keys, "extract_done", meta=ledger_meta)
@@ -403,6 +408,14 @@ class Pipeline:
             if n_seg >= self.COMPACT_AFTER:
                 self.io.compact("extract_metrics", meta=meta)
                 self._log("ledger_compact", table="extract_metrics",
+                          segments=n_seg)
+        if self.io.exists("quarantine"):
+            n_seg = len(self.io.segments("quarantine"))
+            if n_seg >= self.COMPACT_AFTER:
+                q = self.io.read("quarantine").dropDuplicates(
+                    ["repo", "path", "commit", "obj"])
+                self.io.compact("quarantine", q, meta=meta)
+                self._log("ledger_compact", table="quarantine",
                           segments=n_seg)
 
     def _run_stage_lazy(self, name, thunk, partition_by=None, force=False) -> bool:
