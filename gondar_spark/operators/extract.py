@@ -149,12 +149,22 @@ def extract_triples(units: DataFrame, max_retries: int = 2,
                                         extractor, batch_extractor)
             if emit_metrics:
                 # count BEFORE appending the metric row itself, and exclude
-                # quarantine (__error__) rows — triples only.
+                # quarantine (__error__) rows — triples only. Tag the
+                # PHYSICAL partition so the metrics table is genuinely
+                # per-partition lineage (which executor slice produced
+                # what, straggler/skew attribution after the fact) — the
+                # north star's "per-partition lineage + metrics" clause,
+                # /root/repo/BASELINE.json:6.
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx is not None else -1
                 n_triples = sum(1 for k in cols["kind"] if k != "error")
                 cols["subj"].append("__batch__")
                 cols["pred"].append("__metric__")
                 cols["obj"].append(
-                    f"units_in={len(pdf)};triples_out={n_triples}")
+                    f"units_in={len(pdf)};triples_out={n_triples}"
+                    f";partition={pid}")
                 cols["kind"].append("metric")
                 for c in ("repo", "path", "commit", "lang"):
                     cols[c].append("")

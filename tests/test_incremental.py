@@ -160,3 +160,24 @@ def test_cc_giant_component_with_hub(spark):
     comps = labels.select("component").distinct().collect()
     assert [r["component"] for r in comps] == ["hub"]
     assert labels.count() == 401
+
+
+def test_metric_rows_carry_partition_lineage(spark, tmp_path):
+    """extract_metrics is per-PARTITION lineage: every batch metric row
+    tags the physical partition that produced it, covering all input
+    partitions — straggler/skew attribution after the fact."""
+    import re
+
+    from gondar_spark.config import JobConfig
+    from gondar_spark.pipeline import Pipeline
+    from gondar_spark.synth import SynthConfig, generate_source_df
+
+    pipe = Pipeline(spark, JobConfig(warehouse=str(tmp_path / "wh"),
+                                     run_id="plin"))
+    pipe.run(source_df=generate_source_df(
+        spark, SynthConfig(n_files=40), partitions=4))
+    metrics = [r["metric"] for r in pipe.io.read("extract_metrics").collect()]
+    pids = {int(m.group(1)) for m in
+            (re.search(r"partition=(-?\d+)", s) for s in metrics) if m}
+    assert pids and all(p >= 0 for p in pids)
+    assert len(pids) >= 2  # multiple physical partitions represented
