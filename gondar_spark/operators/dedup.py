@@ -28,6 +28,8 @@ fallback is LRU eviction (MEMORY_AND_DISK — degrades, never fails).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,7 +41,10 @@ _LIVE_CACHES: list[DataFrame] = []
 # all mutation happens under _CACHES_LOCK, and every unpersist is
 # individually try/except'd — a DataFrame whose session has already been
 # stopped raises, and one dead entry must not leak the live rest.
-_CACHES_LOCK = None
+# Created unconditionally at import: a lazily-installed lock is itself a
+# check-then-set race (two threads could each install a different Lock
+# and the first concurrent persists would not be mutually excluded).
+_CACHES_LOCK = threading.Lock()
 # bound for callers that never call release_caches(): beyond this many
 # outstanding persists the OLDEST is force-unpersisted (logged). Note a
 # dropped persisted Dataset was never auto-freed before either — the SQL
@@ -49,11 +54,6 @@ MAX_LIVE_CACHES = 16
 
 
 def _lock():
-    global _CACHES_LOCK
-    if _CACHES_LOCK is None:
-        import threading
-
-        _CACHES_LOCK = threading.Lock()
     return _CACHES_LOCK
 
 
@@ -505,13 +505,40 @@ def clean_corpus(
          cluster's min id.
 
     Output: the surviving rows with token_count / quality_score
-    attached. Requires NUMERIC ids (they are zero-padded through CC so
-    the string-min label equals the numeric min, same trick as
-    dedup_clusters). Every stage is a composition of the individually
-    oracled operators, and the composition itself carries an exact
-    DuckDB oracle (__spark_entry__.q_corpus_clean)."""
+    attached. Id handling is TYPE-DISPATCHED (not docstring-enforced):
+
+      * integral ids — zero-padded through CC so the string-min label
+        equals the numeric min (same trick as dedup_clusters); keeper =
+        numeric-min id per cluster. Negative ids would break the padded
+        ordering, so the pad expression raises IN-PLAN on the first
+        negative id it sees (no extra validation scan — at 100 TB an
+        eager min(id) pass just to validate would cost a full corpus
+        read).
+      * string ids — CC runs on the RAW ids (CC labels are strings
+        already); keeper = lexicographic-min id per cluster, and the
+        loser anti-join is on the original column, no casts. Pre-fix,
+        a string-id corpus silently kept ALL near-dups: the loser cast
+        to long produced NULLs and the anti-join removed nothing.
+      * anything else — loud ValueError.
+
+    Every stage is a composition of the individually oracled operators,
+    and the composition itself carries an exact DuckDB oracle for BOTH
+    id regimes (__spark_entry__.q_corpus_clean /
+    q_corpus_clean_string_ids)."""
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType, StringType,
+    )
+
     from ..functions.textstats import with_quality_score
     from .cc import connected_components
+
+    id_type = df.schema[id_col].dataType
+    integral = isinstance(id_type, (ByteType, ShortType, IntegerType, LongType))
+    if not integral and not isinstance(id_type, StringType):
+        raise ValueError(
+            f"clean_corpus: id column {id_col!r} must be integral or "
+            f"string, got {id_type.simpleString()}"
+        )
 
     q = with_quality_score(df, col).filter(
         F.col("quality_score") >= quality_threshold
@@ -528,17 +555,35 @@ def clean_corpus(
         jaccard_threshold,
     )
 
-    def pad(c):
-        # width 19 = max int64 digit count: lpad TRUNCATES
-        # beyond the width, which would silently corrupt labels
-        # for doc_id >= 10^8 at a width of 8
-        return F.lpad(F.col(c).cast("string"), 19, "0")
+    if integral:
+        def as_node(c):
+            # width 19 = max int64 digit count: lpad TRUNCATES beyond the
+            # width, which would silently corrupt labels for
+            # doc_id >= 10^8 at a width of 8. The raise_error branch
+            # trips at RUNTIME on negative ids (NullType coerces into the
+            # string branch), keeping validation lazy and scan-free.
+            return F.when(
+                F.col(c) < 0,
+                F.raise_error(F.lit(
+                    "clean_corpus: negative ids break zero-padded "
+                    "ordering; use string ids or shift the key")),
+            ).otherwise(F.lpad(F.col(c).cast("string"), 19, "0"))
+
+        def from_label(c):
+            return F.col(c).cast("long")
+    else:
+        def as_node(c):
+            return F.col(c)
+
+        def from_label(c):
+            return F.col(c)
 
     labels = connected_components(
-        pairs.select(pad("id_a").alias("norm_a"), pad("id_b").alias("norm_b")),
+        pairs.select(as_node("id_a").alias("norm_a"),
+                     as_node("id_b").alias("norm_b")),
         cc_max_iter,
     )
     losers = labels.filter(F.col("norm") != F.col("component")).select(
-        F.col("norm").cast("long").alias(id_col)
+        from_label("norm").alias(id_col)
     )
     return exact.join(losers, id_col, "left_anti")

@@ -63,6 +63,17 @@ class TableIO:
                 os.rename(path, final)
             else:
                 shutil.rmtree(path, ignore_errors=True)
+        # physically drop segment dirs a crash left behind after their
+        # rows were folded into a base snapshot (the base manifest lists
+        # them as superseded; segments() already hides them from readers)
+        for entry in os.listdir(self.warehouse):
+            if self._SEG_SEP in entry or not os.path.isdir(
+                    os.path.join(self.warehouse, entry)):
+                continue
+            meta = self.commit_meta(entry) or {}
+            for seg in meta.get("superseded_segments") or []:
+                shutil.rmtree(os.path.join(self.warehouse, seg),
+                              ignore_errors=True)
 
     # ---- paths -----------------------------------------------------------
     def _path(self, name: str) -> str:
@@ -102,6 +113,16 @@ class TableIO:
                 "ts": time.time(),
                 "rows": n,
                 "partition_by": partition_by or [],
+                # a base write REPLACES the table, so every segment
+                # committed before it is stale. Listing them IN the commit
+                # manifest makes the swap+prune effectively atomic: a
+                # crash between the rename below and the rmtree loop
+                # leaves the folded dirs on disk, but segments() excludes
+                # manifest-superseded names, so read() can never union
+                # their rows back in (pre-fix, identity-less tables like
+                # extract_metrics double-counted until the next fold);
+                # _recover() deletes the orphan dirs at next init.
+                "superseded_segments": self._raw_segments(name),
                 "meta": meta or {},
             }
             with open(os.path.join(tmp, _COMMIT), "w") as f:
@@ -124,8 +145,10 @@ class TableIO:
             # unioned back in by read() — a forced full re-run would
             # otherwise resurrect pre-rewrite ledger/metric rows.
             # (compact() reads base+segments BEFORE calling write, so the
-            # fold is complete by the time this drop runs.)
-            for seg in self.segments(name):
+            # fold is complete by the time this drop runs. The new
+            # manifest already lists these as superseded, so a crash
+            # anywhere in this loop is invisible to readers.)
+            for seg in commit["superseded_segments"]:
                 shutil.rmtree(self._path(seg), ignore_errors=True)
             # drop Spark's cached file listing for the swapped path —
             # otherwise later reads resolve to the pre-swap part files
@@ -200,10 +223,9 @@ class TableIO:
         seg = f"{name}{self._SEG_SEP}{uuid.uuid4().hex[:12]}"
         return self.write(df, seg, meta=meta)
 
-    def segments(self, name: str) -> list[str]:
-        """Committed segment table names for ``name`` (parquet backend)."""
-        if self.use_iceberg:
-            return []
+    def _raw_segments(self, name: str) -> list[str]:
+        """Committed segment dirs on disk, WITHOUT the superseded filter
+        (used while building a new base manifest)."""
         prefix = f"{name}{self._SEG_SEP}"
         out = []
         for entry in sorted(os.listdir(self.warehouse)):
@@ -211,6 +233,17 @@ class TableIO:
                 if os.path.exists(os.path.join(self.warehouse, entry, _COMMIT)):
                     out.append(entry)
         return out
+
+    def segments(self, name: str) -> list[str]:
+        """Committed segment table names for ``name`` (parquet backend).
+        Segments the base commit manifest lists as superseded are
+        EXCLUDED even if their dirs survived a crash mid-prune — their
+        rows are already folded into the base snapshot."""
+        if self.use_iceberg:
+            return []
+        meta = self.commit_meta(name) or {}
+        dead = set(meta.get("superseded_segments") or [])
+        return [s for s in self._raw_segments(name) if s not in dead]
 
     def compact(self, name: str, df: DataFrame | None = None,
                 meta: dict | None = None) -> dict | None:
@@ -252,7 +285,10 @@ class TableIO:
         tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
         os.makedirs(tmp)
         commit = {"table": name, "ts": time.time(),
-                  "external_path": os.path.abspath(path)}
+                  "external_path": os.path.abspath(path),
+                  # a registration replaces the table like write() does —
+                  # any segments from a prior life are stale
+                  "superseded_segments": self._raw_segments(name)}
         with open(os.path.join(tmp, _COMMIT), "w") as f:
             json.dump(commit, f)
         aside = None

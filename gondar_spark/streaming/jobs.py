@@ -148,8 +148,14 @@ def stateful_minhash_pairs(
     ``max_band`` is that guard: a band at the cap stops ACCUMULATING
     (arrivals still verify against the frozen store, matching the batch
     mega-block cap's drop-don't-crash posture; capped bands are flagged
-    in the `capped` output column so the loss is observable, never
-    silent). ``state_ttl_ms`` bounds state over TIME the way max_band
+    in the `capped` output column). Every REFUSED admission additionally
+    emits a sentinel row (id_a == id_b == the refused id, jaccard -1.0,
+    capped true) — a pair whose BOTH members arrive post-cap produces no
+    pair row, so without the sentinel that loss would be observable only
+    by inference; with it, `filter(id_a == id_b)` counts dropped-pair
+    exposure directly, the streaming analog of the batch path's logged
+    n_blocks_dropped (real pairs always have id_a < id_b, so sentinels
+    never collide with data). ``state_ttl_ms`` bounds state over TIME the way max_band
     bounds it over SIZE: a band idle past the TTL drops its whole
     signature store (near-dup-over-a-sliding-horizon; a duplicate
     arriving after the gap pairs with nothing). Same contract as
@@ -219,6 +225,14 @@ def stateful_minhash_pairs(
                 ids.append(nid)
                 sets.append(nsh)
                 known.add(nid)
+            else:
+                # admission refused: the doc verified against the frozen
+                # store but will never pair with LATER arrivals in this
+                # band — emit the countable sentinel (see docstring)
+                out["id_a"].append(nid)
+                out["id_b"].append(nid)
+                out["jaccard"].append(-1.0)
+                out["capped"].append(True)
         state.update((ids, [sorted(s) for s in sets]))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)

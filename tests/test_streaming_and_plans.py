@@ -289,13 +289,22 @@ def test_stateful_minhash_pairs_max_band_cap(spark, tmp_path):
     )
     q.awaitTermination()
     rows = spark.table("t_stream_mhcap").collect()
-    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    pairs = {(r["id_a"], r["id_b"]) for r in rows if r["id_a"] != r["id_b"]}
     # docs 3,4 verified against the frozen {1,2} store but never joined
     # it: (3,4) must be ABSENT, their store pairs flagged capped
     assert (3, 4) not in pairs
     assert {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)} == pairs
-    assert all(r["capped"] for r in rows if r["id_b"] in (3, 4))
+    assert all(r["capped"] for r in rows
+               if r["id_a"] != r["id_b"] and r["id_b"] in (3, 4))
     assert not any(r["capped"] for r in rows if (r["id_a"], r["id_b"]) == (1, 2))
+    # refusal SENTINELS (round-5 advice): each doc refused admission at
+    # the cap emits one (id, id, -1.0, capped) row per refusing band, so
+    # dropped-pair exposure is directly countable — docs 3 and 4 were
+    # refused by every band (8 bands, identical text -> same band keys)
+    sentinels = [r for r in rows if r["id_a"] == r["id_b"]]
+    assert {r["id_a"] for r in sentinels} == {3, 4}
+    assert all(r["jaccard"] == -1.0 and r["capped"] for r in sentinels)
+    assert len(sentinels) == 16  # 2 refused docs x 8 bands
 
 
 def test_stateful_exact_dedup_state_ttl_evicts_idle_hashes(spark, tmp_path):
