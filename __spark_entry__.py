@@ -33,7 +33,9 @@ from gondar_spark.functions.textstats import (
 from gondar_spark.operators import similarity
 from gondar_spark.operators.dedup import (
     exact_dedup,
+    incremental_minhash_pairs,
     minhash_lsh_pairs,
+    minhash_store,
     ngram_jaccard_pairs,
     simhash_dedup,
     word_shingles,
@@ -312,6 +314,79 @@ def q_corpus_clean(spark, sf_dir):
     ).select("doc_id", "token_count", "quality_score")
 
 
+def q_corpus_clean_string_ids(spark, sf_dir):
+    """clean_corpus over a STRING-keyed corpus (round-4 advice/verdict
+    ask #5): ids like 'doc-17' exercise the raw-string CC path — keeper =
+    LEXICOGRAPHIC min per cluster ('doc-100' < 'doc-2', deliberately
+    different from numeric order), losers anti-joined on the original
+    column with no casts. The oracle mirrors the whole chain with the
+    same string ids, so the string-id regime is hash-verified end to
+    end, not just pytest-covered."""
+    from gondar_spark.operators.dedup import clean_corpus
+
+    docs = _docs_with_planted_dups(spark, sf_dir).withColumn(
+        "doc_id", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    )
+    return clean_corpus(
+        docs, quality_threshold=0.35, jaccard_threshold=0.5, seed=SEED,
+    ).select("doc_id", "token_count", "quality_score")
+
+
+# --- incremental linking: probe a committed LSH store with a new batch --------
+def q_incremental_edges(spark, sf_dir):
+    """O(new) ingest contract, hash-verified: the corpus is split into a
+    COMMITTED part (doc_id % 3 != 0, whose signature/band store a prior
+    run materialized) and a NEW batch (doc_id % 3 == 0). The new batch's
+    pairs come from incremental_minhash_pairs — its own band self-join
+    plus an equi-join probe of the committed store, never a re-block of
+    the corpus. Union with the committed part's own pairs must equal the
+    one-shot minhash_lsh_pairs over the WHOLE corpus, so the oracle is
+    minhash_lsh_pairs' exact DuckDB chain on the union — the driver
+    hash-checks that incremental ingest loses and invents nothing."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    store_sig, store_blocks = minhash_store(
+        old, n_hashes=16, bands=8, seed=SEED)
+    new_pairs, _sig, _blocks = incremental_minhash_pairs(
+        new, store_sig, store_blocks,
+        n_hashes=16, bands=8, seed=SEED, threshold=0.5)
+    old_pairs = minhash_lsh_pairs(
+        old, n_hashes=16, bands=8, seed=SEED, threshold=0.5)
+    return old_pairs.unionByName(new_pairs)
+
+
+def q_incremental_components(spark, sf_dir):
+    """Incremental CC, hash-verified: old labels come from CC over the
+    committed edge split; the new edge batch re-labels ONLY the touched
+    components (cc.incremental_components), untouched labels pass
+    through. Result must equal the full recursive-closure over ALL edges
+    — dedup_clusters' exact DuckDB oracle. The split hashes EDGES (not
+    docs), so new edges bridge pre-existing components — the hard merge
+    case."""
+    from gondar_spark.operators import cc
+
+    pairs = minhash_lsh_pairs(
+        _docs_with_planted_dups(spark, sf_dir),
+        n_hashes=16, bands=8, seed=SEED, threshold=0.5,
+    )
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 19, "0")
+
+    edges = pairs.select(
+        pad("id_a").alias("norm_a"), pad("id_b").alias("norm_b")
+    ).localCheckpoint(eager=True)
+    old_e = edges.filter((F.xxhash64("norm_a", "norm_b") % 3) != 0)
+    new_e = edges.filter((F.xxhash64("norm_a", "norm_b") % 3) == 0)
+    old_labels = cc.connected_components(old_e, 20)
+    labels, _touched = cc.incremental_components(old_labels, old_e, new_e, 20)
+    return labels.select(
+        F.col("norm").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("keeper"),
+    )
+
+
 # --- multimodal: Arrow binary-payload feature extraction, oracle-checked ------
 def q_media_features(spark, sf_dir):
     """Binary media payloads through the mapInPandas feature UDF. The
@@ -501,6 +576,33 @@ def q_ivf_knn_per_probe_indexed(spark, sf_dir):
             _t(spark, sf_dir, "embeddings"),
             _trained_centroids(spark, sf_dir), path,
         )
+        _CENTROID_CACHE[key] = path
+    probes = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk_per_probe_indexed(
+        spark, _CENTROID_CACHE[key], probes, k=3, n_probe=_IVF_NPROBE,
+    ).select("probe_id", "data_id", "cosine", "rank")
+
+
+def q_ivf_knn_per_probe_appended(spark, sf_dir):
+    """Index MAINTENANCE contract (round-4 verdict ask #3): the index is
+    built over HALF the corpus, then the other half is
+    append_to_ivf_index'ed with the committed centroids — no re-train,
+    no rebuild. Probing it must give bit-identical results to probing a
+    one-shot index over the union (same centroids -> same assignment ->
+    same rows), so this shares ivf_knn_per_probe's exact oracle; the
+    drift gate's report lands in <index>/drift.jsonl."""
+    import tempfile
+
+    key = ("ivf_index_appended", sf_dir)
+    if key not in _CENTROID_CACHE:
+        path = tempfile.mkdtemp(prefix="gondar_ivf_idx_app_")
+        emb = _t(spark, sf_dir, "embeddings")
+        similarity.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            _trained_centroids(spark, sf_dir), path,
+        )
+        similarity.append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 2 != 0), path)
         _CENTROID_CACHE[key] = path
     probes = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
     return similarity.ivf_topk_per_probe_indexed(
@@ -1332,88 +1434,103 @@ def q_kg_entities(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING IS DELIBERATE: the driver's correctness harness verifies a
-    # window of entries in dict order, so the queries that have not yet
-    # appeared in a driver CORRECTNESS artifact lead (the KG product
-    # tables first, then streaming/temporal/xml and this round's
-    # additions); the long-driver-verified rest follows.
-    return {
-        "kg_triples": q_kg_triples,
-        "kg_edges": q_kg_edges,
-        "kg_entities": q_kg_entities,
-        "streaming_hourly_events": q_streaming_hourly_events,
-        "streaming_repo_totals": q_streaming_repo_totals,
-        "streaming_exact_dedup": q_streaming_exact_dedup,
-        "streaming_minhash_pairs": q_streaming_minhash_pairs,
-        "asof_event_lookup": q_asof_event_lookup,
-        "asof_event_lookup_bucketed": q_asof_event_lookup_bucketed,
-        "range_join_recent": q_range_join_recent,
-        "xml_meta": q_xml_meta,
-        "xml_body_sections": q_xml_body_sections,
-        "xml_tables": q_xml_tables,
-        "docs_except_en": q_docs_except_en,
-        "orders_running_total": q_orders_running_total,
-        "union_projections": q_union_projections,
-        "distinct_pairs": q_distinct_pairs,
-        "latest_event_per_user": q_latest_event_per_user,
-        "ivf_knn_per_probe": q_ivf_knn_per_probe,
-        "ivf_knn_per_probe_indexed": q_ivf_knn_per_probe_indexed,
-        "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
-        "deterministic_sample": q_deterministic_sample,
-        "train_test_split": q_train_test_split,
-        "stratified_sample": q_stratified_sample,
-        "corpus_clean": q_corpus_clean,
-        "scan_pushdown_topk": q_scan_pushdown_topk,
-        "semi_join_fetch": q_semi_join_fetch,
-        "meta_projection": q_meta_projection,
-        "body_explode": q_body_explode,
-        "normalize_strip": q_normalize_strip,
-        "string_agg_run_mode": q_string_agg_run_mode,
-        "template_fill": q_template_fill,
-        "json_extract_events": q_json_extract_events,
-        "empty_filter": q_empty_filter,
-        "extraction_regex": q_extraction_regex,
-        "mention_dictionary": q_mention_dictionary,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "media_features": q_media_features,
-        "cosine_topk": q_cosine_topk,
-        "knn_per_probe": q_knn_per_probe,
-        "ivf_topk": q_ivf_topk,
-        "ivf_topk_indexed": q_ivf_topk_indexed,
-        "ivf_topk_quantized": q_ivf_topk_quantized,
-        "ivf_recall": q_ivf_recall,
-        "topk_hot_entities": q_topk_hot_entities,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
-        "winnowing_fps": q_winnowing_fps,
-        "bm25_rank": q_bm25_rank,
-        "quantize_error": q_quantize_error,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_volume": q_nation_volume,
-        "events_topk_users": q_events_topk_users,
-        "events_topk_users_bucketed": q_events_topk_users_bucketed,
-        "kmeans_centroids": q_kmeans_centroids,
-        "events_hourly": q_events_hourly,
-        "salted_user_counts": q_salted_user_counts,
-        "edit_similarity_nations": q_edit_similarity_nations,
-        "rollup_pricing": q_rollup_pricing,
-        "cube_events": q_cube_events,
-        "sessionize_events": q_sessionize_events,
-        "lang_source_matrix": q_lang_source_matrix,
-        "embedding_near_dup_exact": q_embedding_near_dup_exact,
-        "weighted_value_udaf": q_weighted_value_udaf,
-        "zscore_grouped_map": q_zscore_grouped_map,
-        "median_quantity": q_median_quantity,
-        "customers_without_orders": q_customers_without_orders,
-    }
+    """Registry order is MECHANICAL (round-4 verdict ask #4): every entry
+    carries the round it was added or last changed, and the dict is built
+    highest-round-first (stable within a round). The driver's correctness
+    harness verifies a window of entries in dict order, so anything new
+    or touched this round automatically lands inside the window — no
+    hand-reordering. Policy: when adding or changing a query, set its
+    tag to the current round number."""
+    reg = _registry()
+    order = sorted(range(len(reg)), key=lambda i: (-reg[i][1], i))
+    return {reg[i][0]: reg[i][2] for i in order}
+
+
+def _registry() -> list[tuple[str, int, Callable]]:
+    # (name, round_added_or_last_changed, fn)
+    return [
+        # --- round 5 ---------------------------------------------------
+        ("incremental_edges", 5, q_incremental_edges),
+        ("incremental_components", 5, q_incremental_components),
+        ("corpus_clean_string_ids", 5, q_corpus_clean_string_ids),
+        ("ivf_knn_per_probe_appended", 5, q_ivf_knn_per_probe_appended),
+        # --- round 4 and earlier (relative order preserved) -------------
+        ("kg_triples", 4, q_kg_triples),
+        ("kg_edges", 4, q_kg_edges),
+        ("kg_entities", 4, q_kg_entities),
+        ("streaming_hourly_events", 4, q_streaming_hourly_events),
+        ("streaming_repo_totals", 4, q_streaming_repo_totals),
+        ("streaming_exact_dedup", 4, q_streaming_exact_dedup),
+        ("streaming_minhash_pairs", 4, q_streaming_minhash_pairs),
+        ("asof_event_lookup", 4, q_asof_event_lookup),
+        ("asof_event_lookup_bucketed", 4, q_asof_event_lookup_bucketed),
+        ("range_join_recent", 4, q_range_join_recent),
+        ("xml_meta", 4, q_xml_meta),
+        ("xml_body_sections", 4, q_xml_body_sections),
+        ("xml_tables", 4, q_xml_tables),
+        ("docs_except_en", 4, q_docs_except_en),
+        ("orders_running_total", 4, q_orders_running_total),
+        ("union_projections", 4, q_union_projections),
+        ("distinct_pairs", 4, q_distinct_pairs),
+        ("latest_event_per_user", 4, q_latest_event_per_user),
+        ("ivf_knn_per_probe", 4, q_ivf_knn_per_probe),
+        ("ivf_knn_per_probe_indexed", 4, q_ivf_knn_per_probe_indexed),
+        ("embedding_near_dup_ivf", 4, q_embedding_near_dup_ivf),
+        ("deterministic_sample", 4, q_deterministic_sample),
+        ("train_test_split", 4, q_train_test_split),
+        ("stratified_sample", 4, q_stratified_sample),
+        ("corpus_clean", 4, q_corpus_clean),
+        ("scan_pushdown_topk", 3, q_scan_pushdown_topk),
+        ("semi_join_fetch", 1, q_semi_join_fetch),
+        ("meta_projection", 1, q_meta_projection),
+        ("body_explode", 1, q_body_explode),
+        ("normalize_strip", 1, q_normalize_strip),
+        ("string_agg_run_mode", 1, q_string_agg_run_mode),
+        ("template_fill", 1, q_template_fill),
+        ("json_extract_events", 1, q_json_extract_events),
+        ("empty_filter", 1, q_empty_filter),
+        ("extraction_regex", 1, q_extraction_regex),
+        ("mention_dictionary", 1, q_mention_dictionary),
+        ("exact_dedup", 1, q_exact_dedup),
+        ("minhash_signatures", 1, q_minhash_signatures),
+        ("minhash_lsh_pairs", 1, q_minhash_lsh_pairs),
+        ("ngram_jaccard_pairs", 1, q_ngram_jaccard_pairs),
+        ("simhash_pairs", 1, q_simhash_pairs),
+        ("dedup_clusters", 1, q_dedup_clusters),
+        ("media_features", 1, q_media_features),
+        ("cosine_topk", 1, q_cosine_topk),
+        ("knn_per_probe", 1, q_knn_per_probe),
+        ("ivf_topk", 1, q_ivf_topk),
+        ("ivf_topk_indexed", 1, q_ivf_topk_indexed),
+        ("ivf_topk_quantized", 1, q_ivf_topk_quantized),
+        ("ivf_recall", 1, q_ivf_recall),
+        ("topk_hot_entities", 1, q_topk_hot_entities),
+        ("token_stats", 1, q_token_stats),
+        ("quality_scores", 1, q_quality_scores),
+        ("lang_id", 1, q_lang_id),
+        ("fingerprints", 1, q_fingerprints),
+        ("winnowing_fps", 1, q_winnowing_fps),
+        ("bm25_rank", 1, q_bm25_rank),
+        ("quantize_error", 1, q_quantize_error),
+        ("pricing_summary", 1, q_pricing_summary),
+        ("top_revenue_orders", 1, q_top_revenue_orders),
+        ("nation_volume", 1, q_nation_volume),
+        ("events_topk_users", 1, q_events_topk_users),
+        ("events_topk_users_bucketed", 1, q_events_topk_users_bucketed),
+        ("kmeans_centroids", 1, q_kmeans_centroids),
+        ("events_hourly", 1, q_events_hourly),
+        ("salted_user_counts", 1, q_salted_user_counts),
+        ("edit_similarity_nations", 1, q_edit_similarity_nations),
+        ("rollup_pricing", 1, q_rollup_pricing),
+        ("cube_events", 1, q_cube_events),
+        ("sessionize_events", 1, q_sessionize_events),
+        ("lang_source_matrix", 1, q_lang_source_matrix),
+        ("embedding_near_dup_exact", 1, q_embedding_near_dup_exact),
+        ("weighted_value_udaf", 1, q_weighted_value_udaf),
+        ("zscore_grouped_map", 1, q_zscore_grouped_map),
+        ("median_quantity", 1, q_median_quantity),
+        ("customers_without_orders", 1, q_customers_without_orders),
+    ]
 
 
 # ===========================================================================
@@ -1508,12 +1625,23 @@ def _lsh_pairs_sql(threshold: float) -> str:
             + "\nSELECT id_a, id_b, jaccard FROM lsh_pairs")
 
 
-def _corpus_clean_sql(quality_threshold: float, threshold: float) -> str:
+def _corpus_clean_sql(quality_threshold: float, threshold: float,
+                      string_ids: bool = False) -> str:
     """The full cleaning chain mirrored: quality gate (with_quality_score
     formula) -> exact-dedup keepers (min id per md5(text)) -> LSH pairs
     over the SURVIVORS -> recursive min-label closure -> drop cluster
-    non-keepers. Output = surviving (doc_id, token_count, quality_score)."""
+    non-keepers. Output = surviving (doc_id, token_count, quality_score).
+
+    ``string_ids`` mirrors clean_corpus's raw-string id regime: ids are
+    'doc-<n>' strings, the closure runs on them UNPADDED (keeper =
+    lexicographic min — 'doc-100' < 'doc-2'), and losers join back with
+    no casts."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    src = (f"(SELECT 'doc-' || doc_id AS doc_id, text FROM {_PLANTED_DUPS} p)"
+           if string_ids else _PLANTED_DUPS)
+    node_a = ("id_a" if string_ids else "lpad(id_a::VARCHAR, 19, '0')")
+    node_b = ("id_b" if string_ids else "lpad(id_b::VARCHAR, 19, '0')")
+    loser_id = ("a" if string_ids else "CAST(a AS BIGINT)")
     quality = f"""qstats AS (
     SELECT doc_id, text,
            len(toks)::BIGINT AS token_count,
@@ -1530,7 +1658,7 @@ def _corpus_clean_sql(quality_threshold: float, threshold: float) -> str:
     FROM (SELECT doc_id, text,
                  CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                       ELSE string_split_regex(trim(text), '\\s+') END AS toks
-          FROM {_PLANTED_DUPS} docs)
+          FROM {src} docs)
 ), q AS (
     SELECT doc_id, text, token_count,
            (floor((least(1.0, n_tok / 64.0) * 0.5
@@ -1547,19 +1675,19 @@ def _corpus_clean_sql(quality_threshold: float, threshold: float) -> str:
         FROM qpass) WHERE _rn = 1
 )"""
     return ("WITH RECURSIVE " + quality + ", "
-            + _lsh_cte(threshold, src="exact") + """
+            + _lsh_cte(threshold, src="exact") + f"""
 , sym AS (
-    SELECT lpad(id_a::VARCHAR, 19, '0') AS s, lpad(id_b::VARCHAR, 19, '0') AS d
+    SELECT {node_a} AS s, {node_b} AS d
     FROM lsh_pairs
     UNION
-    SELECT lpad(id_b::VARCHAR, 19, '0'), lpad(id_a::VARCHAR, 19, '0')
+    SELECT {node_b}, {node_a}
     FROM lsh_pairs
 ), reach(a, b) AS (
     SELECT s, s FROM (SELECT DISTINCT s FROM sym)
     UNION
     SELECT r.a, s.d FROM reach r JOIN sym s ON r.b = s.s
 ), losers AS (
-    SELECT CAST(a AS BIGINT) AS doc_id
+    SELECT {loser_id} AS doc_id
     FROM reach GROUP BY a HAVING min(b) != a
 )
 SELECT e.doc_id, e.token_count, e.quality_score
@@ -2125,6 +2253,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _lsh_pairs_sql(0.5),
         "dedup_clusters": _dedup_clusters_sql(0.5),
         "corpus_clean": _corpus_clean_sql(0.35, 0.5),
+        "corpus_clean_string_ids": _corpus_clean_sql(0.35, 0.5,
+                                                     string_ids=True),
         "media_features": _media_features_sql(),
         "bm25_rank": _bm25_sql(_BM25_TERMS),
         "quantize_error": """
@@ -2644,4 +2774,10 @@ def _with_rewrite_aliases(oracles: dict[str, str]) -> dict[str, str]:
     oracles["streaming_exact_dedup"] = oracles["exact_dedup"]
     oracles["streaming_minhash_pairs"] = oracles["minhash_lsh_pairs"]
     oracles["ivf_knn_per_probe_indexed"] = oracles["ivf_knn_per_probe"]
+    # round-5 incremental operators: incremental ingest must reproduce the
+    # one-shot result exactly, so each shares its one-shot oracle — the
+    # incrementality itself is what gets hash-verified
+    oracles["incremental_edges"] = oracles["minhash_lsh_pairs"]
+    oracles["incremental_components"] = oracles["dedup_clusters"]
+    oracles["ivf_knn_per_probe_appended"] = oracles["ivf_knn_per_probe"]
     return oracles

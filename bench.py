@@ -183,6 +183,10 @@ SCALING_QUERIES = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_pairs",
+    # the composed cleaning chain (quality gate -> exact dedup -> LSH+CC
+    # removal): it stacks the three heaviest stages, so its 10x ratio is
+    # the single most user-relevant scaling number (round-4 verdict #6)
+    "corpus_clean",
 ]
 
 

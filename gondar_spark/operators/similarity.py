@@ -431,6 +431,83 @@ def build_ivf_index(
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     (spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    # build-time cell-occupancy stats: the baseline append_to_ivf_index's
+    # drift gate compares against
+    (spark.read.parquet(f"{path}/cells").groupBy("cell")
+     .agg(F.count("*").alias("n")).coalesce(1)
+     .write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skew_factor: float = 2.0,
+    growth_factor: float = 1.0,
+) -> dict:
+    """Grow a materialized IVF index WITHOUT re-training (round-4 verdict
+    ask #3): new vectors are assigned with the COMMITTED centroids and
+    appended into the existing cell partition dirs, so an index built in
+    K appends is row-identical to a one-shot build over the union
+    (same centroids -> same assignment; pinned by the
+    ivf_knn_per_probe_appended oracle).
+
+    Returns a drift report and flags ``retrain`` when the committed
+    centroids stop fitting the grown corpus:
+      * skew — max/mean cell occupancy grew past ``skew_factor`` x the
+        build-time skew (new data is piling into few cells: recall decays
+        because probes read ever-larger cells);
+      * growth — total rows exceed (1 + ``growth_factor``) x build size
+        (even balanced growth eventually wants more cells: the 100 TB
+        design holds cell SIZE constant by scaling cell count with the
+        corpus).
+    The report is appended to ``<path>/drift.jsonl`` so index lineage is
+    inspectable; callers re-train + rebuild when ``retrain`` is set."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    cents = [
+        list(r["cvec"])
+        for r in sorted(spark.read.parquet(f"{path}/centroids").collect(),
+                        key=lambda r: r["cell"])
+    ]
+    assigned = assign_cells(df, cents, vec_col=vec_col, n_probe=1)
+    (assigned.select("cell", id_col, F.col(vec_col).cast("array<double>")
+                     .alias(vec_col))
+     .write.mode("append").partitionBy("cell").parquet(f"{path}/cells"))
+    spark.catalog.refreshByPath(f"{path}/cells")
+    build = {int(r["cell"]): int(r["n"])
+             for r in spark.read.parquet(f"{path}/stats").collect()}
+    now = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(f"{path}/cells")
+        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+
+    def skew(counts):
+        vals = list(counts.values())
+        mean = sum(vals) / len(vals) if vals else 0.0
+        return (max(vals) / mean) if mean else 0.0
+
+    build_total, now_total = sum(build.values()), sum(now.values())
+    report = {
+        "build_rows": build_total,
+        "rows": now_total,
+        "build_skew": round(skew(build), 4),
+        "skew": round(skew(now), 4),
+        "appended": now_total - build_total,
+    }
+    report["retrain"] = bool(
+        (report["build_skew"] and
+         report["skew"] > skew_factor * report["build_skew"])
+        or (build_total and
+            now_total > (1.0 + growth_factor) * build_total)
+    )
+    with open(os.path.join(path, "drift.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
+    return report
 
 
 def ivf_topk_indexed(

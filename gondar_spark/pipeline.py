@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import JobConfig
-from .operators import blocking, cc, chunk, extract, materialize, normalize, source
+from .operators import (
+    blocking, cc, chunk, extract, identity, materialize, normalize, source,
+)
 from .sources.tables import TableIO
 
 STAGES = ("source", "triples_raw", "mentions", "edges", "labels", "materialize")
@@ -287,6 +289,18 @@ class Pipeline:
                 force_downstream = n_new > 0
             self._compact_ledgers(src if prune_removed else None,
                                   force=prune_removed)
+            if force_downstream and self._can_link_incremental():
+                # O(new) linking: probe the committed signature/band store
+                # with the new mentions, re-run CC only on the components
+                # a new edge touches, and leave the untouched graph alone
+                # — ingest cost tracks the batch, not the corpus.
+                executed.update(self._link_incremental(new_triples))
+                triples_raw = self.io.read("triples_raw")
+                mentions = self.io.read("mentions")
+                labels = self.io.read("labels")
+                executed["materialize"] = self._materialize_stage(
+                    mentions, labels, triples_raw, force=True)
+                return executed
             force = force or force_downstream
         else:
             def _extract_all():
@@ -309,7 +323,11 @@ class Pipeline:
         )
         mentions = self.io.read("mentions")
 
-        # stage 4: blocking + candidate pairs + scoring (B6/B7/B8)
+        # stage 4: blocking + candidate pairs + scoring (B6/B7/B8). The
+        # signature table is ALSO committed (link_signatures): it is the
+        # LSH index incremental runs probe — band keys re-derive in-row
+        # from the h-columns (no shuffle), and the grams column feeds the
+        # verify join, so a later ingest never re-blocks the corpus.
         def _edges():
             # sig feeds band keys + both sides of the scoring join —
             # persist so the md5 minhash computation runs once. Both
@@ -345,7 +363,8 @@ class Pipeline:
             )
             pairs = blocking.candidate_pairs(blocks_ok, max_block_size=None)
             from .operators.scoring import score_pairs
-            return ({"edges": score_pairs(pairs, sig, cfg.link_threshold)},
+            return ({"edges": score_pairs(pairs, sig, cfg.link_threshold),
+                     "link_signatures": sig},
                     [sig, sizes])
         executed["edges"] = self._run_stage_lazy("edges", _edges, force=force)
         edges = self.io.read("edges")
@@ -359,22 +378,244 @@ class Pipeline:
         labels = self.io.read("labels")
 
         # stage 6: materialize triples + dictionaries (B11/B13)
+        executed["materialize"] = self._materialize_stage(
+            mentions, labels, triples_raw, force=force)
+        return executed
+
+    # ---- stable canonical ids + materialize ---------------------------------
+    def _read_entity_ledger(self) -> DataFrame:
+        """Latest (norm -> entity_id) mapping from the segment-appended
+        ledger: each append carries a monotone _seq, highest wins."""
+        from pyspark.sql.window import Window
+
+        df = self.io.read("entity_ids")
+        w = Window.partitionBy("norm").orderBy(F.col("_seq").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("norm", "entity_id")
+        )
+
+    def _materialize_stage(self, mentions: DataFrame, labels: DataFrame,
+                           triples_raw: DataFrame, force: bool) -> bool:
+        """Materialize with STABLE entity ids: CC labels are component
+        minima and churn when a lower-id member arrives; the entity_ids
+        ledger maps every mention norm to its FIRST-ASSIGNED id, so
+        corpus growth never relabels a published entity. Merges (several
+        prior ids landing in one component) survive as the minimum prior
+        id — deterministic — and are recorded in lineage. On a fresh
+        warehouse the ledger is the identity mapping, so first-run
+        outputs equal plain min-label canonicalization (all existing
+        oracles/fixtures unchanged)."""
+        probe = _STAGE_TABLES["materialize"]
+        if (not force and all(self.io.exists(t) for t in probe)
+                and self.io.exists("entity_ids")):
+            self._log("materialize", skipped=True)
+            return False
+        has_ledger = self.io.exists("entity_ids")
+        prior_map = self._read_entity_ledger() if has_ledger else None
+        assign, merges = identity.resolve_stable_ids(labels, prior_map)
+        # the full norm -> stable-id mapping: linked norms through their
+        # component's assignment, singletons as themselves (components
+        # never shrink under append-only growth, so a singleton's id is
+        # its norm forever). Checkpointed once — it feeds three
+        # materialize joins plus the ledger diff.
+        linked = labels.join(assign, "component").select("norm", "entity_id")
+        singles = (
+            mentions.select("norm").distinct()
+            .join(labels.select("norm").distinct(), "norm", "left_anti")
+            .withColumn("entity_id", F.col("norm"))
+        )
+        mapping = linked.unionByName(singles).localCheckpoint(eager=True)
+        labels_stable = mapping.select(
+            "norm", F.col("entity_id").alias("component"))
+
         def _mat():
-            entities, aliases = materialize.entity_tables(mentions, labels)
-            n_mentions = materialize.entity_mention_counts(triples_raw, labels)
-            entities_full = entities.join(n_mentions, "entity_id", "left").withColumn(
-                "n_mentions", F.coalesce("n_mentions", F.lit(0)))
+            entities, aliases = materialize.entity_tables(
+                mentions, labels_stable)
+            n_mentions = materialize.entity_mention_counts(
+                triples_raw, labels_stable)
+            entities_full = entities.join(
+                n_mentions, "entity_id", "left"
+            ).withColumn("n_mentions", F.coalesce("n_mentions", F.lit(0)))
             return {
-                "triples": materialize.canonical_triples(triples_raw, labels),
+                "triples": materialize.canonical_triples(
+                    triples_raw, labels_stable),
                 "entities": entities_full,
                 "aliases": aliases,
             }
-        executed["materialize"] = self._run_stage_lazy(
+
+        executed = self._run_stage_lazy(
             "materialize", _mat,
             partition_by={"triples": ["pred"], "aliases": ["lang"]},
-            force=force,
+            force=True,
         )
+        meta = {"stage": "materialize", "run_id": self.cfg.run_id}
+        if not has_ledger:
+            self.io.write(mapping.withColumn("_seq", F.lit(0)),
+                          "entity_ids", meta=meta)
+            self._log("entity_ids", rows="base", merges=0)
+        else:
+            # O(changed) append: only norms whose mapping is new or moved
+            changed = mapping.join(prior_map, ["norm", "entity_id"],
+                                   "left_anti").localCheckpoint(eager=True)
+            n_changed = changed.count()
+            merge_rows = [
+                {"entity_id": r["entity_id"],
+                 "absorbed_id": r["absorbed_id"]}
+                for r in merges.limit(100).collect()
+            ]
+            n_merges = merges.count()
+            if n_changed:
+                seq = self.io.read("entity_ids").agg(
+                    F.max("_seq")).collect()[0][0] or 0
+                self.io.append(changed.withColumn("_seq", F.lit(seq + 1)),
+                               "entity_ids", meta=meta)
+            self._log("entity_ids", changed=n_changed, merges=n_merges,
+                      merge_sample=merge_rows)
         return executed
+
+    # ---- incremental linking (O(new) ingest) --------------------------------
+    _LINK_TABLES = ("mentions", "edges", "labels", "link_signatures")
+
+    def _can_link_incremental(self) -> bool:
+        """The probe path needs the committed link state; lang-aware
+        blocking changes band keys when an EXISTING norm gains a new
+        language, which the new-norms-only probe cannot see — that mode
+        falls back to the full recompute (logged)."""
+        if self.cfg.link_lang_aware:
+            self._log("link_incremental_fallback", reason="link_lang_aware")
+            return False
+        if not all(self.io.exists(t) for t in self._LINK_TABLES):
+            self._log("link_incremental_fallback",
+                      reason="missing link state (pre-round-5 warehouse)")
+            return False
+        return True
+
+    def _link_incremental(self, new_triples: DataFrame) -> dict:
+        """Linking stages (B5-B9) at O(new-batch) cost:
+
+          * mentions — new (surface, lang, norm) rows found via a
+            broadcast semi/anti pair (the dictionary is SCANNED, never
+            shuffled) and segment-appended;
+          * edges — signatures computed for NEW norms only; candidate
+            pairs = new x new band self-join  ∪  a band-key equi-join
+            probe of the committed signature store (band keys re-derive
+            in-row from the stored h-columns — no shuffle of the store);
+            the mega-block cap applies to the COMBINED band population,
+            so a band that ever crossed the cap never emits new pairs
+            (pairs emitted while it was small stay — the batch analog of
+            the streaming max_band freeze; refusals are logged);
+          * labels — CC re-runs ONLY on components touched by a new edge
+            (cc.incremental_components); untouched labels pass through.
+
+        Equal to the full recompute except for cap-freeze semantics
+        (pinned by tests against Pipeline-on-union)."""
+        cfg = self.cfg
+        io = self.io
+        t0 = time.time()
+        old_mentions = io.read("mentions")
+        new_m = normalize.normalize_mentions(new_triples)
+        # which of the batch's mention rows are genuinely new: semi-join
+        # the dictionary against the (small, broadcast) batch, then
+        # anti-join the batch against that overlap — both joins broadcast
+        # the small side, so the dictionary is scanned, not shuffled
+        overlap = old_mentions.join(
+            F.broadcast(new_m), ["surface", "lang", "norm"], "left_semi")
+        new_rows = new_m.join(
+            F.broadcast(overlap), ["surface", "lang", "norm"], "left_anti"
+        ).localCheckpoint(eager=True)
+        n_new_mentions = new_rows.count()
+        norm_overlap = old_mentions.select("norm").join(
+            F.broadcast(new_rows.select("norm").distinct()),
+            "norm", "left_semi").distinct()
+        new_norm_rows = new_rows.join(
+            F.broadcast(norm_overlap), "norm", "left_anti")
+        self._log("mentions", skipped=False, incremental=True,
+                  new_rows=n_new_mentions,
+                  wall_s=round(time.time() - t0, 3))
+
+        t1 = time.time()
+        store_sig = io.read("link_signatures")
+        new_sig = blocking.minhash_signature_df(
+            new_norm_rows, cfg.minhash_hashes, cfg.extractor_seed,
+            cfg.shingle_size).localCheckpoint(eager=True)
+        new_blocks = blocking.band_keys_df(
+            new_sig, cfg.minhash_hashes, cfg.lsh_bands)
+        store_blocks = blocking.band_keys_df(
+            store_sig, cfg.minhash_hashes, cfg.lsh_bands)
+        new_band_keys = new_blocks.select("band_key").distinct()
+        touched_store = store_blocks.join(
+            F.broadcast(new_band_keys), "band_key", "left_semi")
+        combined = (
+            touched_store.select("band_key")
+            .union(new_blocks.select("band_key"))
+            .groupBy("band_key").agg(F.count("*").alias("_bs"))
+            .localCheckpoint(eager=True)
+        )
+        n_refused = combined.filter(
+            F.col("_bs") > cfg.max_block_size).count()
+        if n_refused:
+            self._log("edges_megablock_cap", n_blocks_refused=n_refused,
+                      max_block_size=cfg.max_block_size, incremental=True)
+        ok_bands = combined.filter(
+            F.col("_bs") <= cfg.max_block_size).select("band_key")
+        new_blocks_ok = new_blocks.join(
+            F.broadcast(ok_bands), "band_key", "left_semi")
+        touched_ok = touched_store.join(
+            F.broadcast(ok_bands), "band_key", "left_semi")
+        pairs_nn = blocking.candidate_pairs(
+            new_blocks_ok, max_block_size=None)
+        pairs_no = (
+            new_blocks_ok.withColumnRenamed("norm", "norm_n")
+            .join(touched_ok.withColumnRenamed("norm", "norm_o"),
+                  "band_key")
+            .filter(F.col("norm_n") != F.col("norm_o"))
+            .select(F.least("norm_n", "norm_o").alias("norm_a"),
+                    F.greatest("norm_n", "norm_o").alias("norm_b"))
+        )
+        pairs = pairs_nn.unionByName(pairs_no).distinct()
+        from .operators.scoring import score_pairs
+        sig_grams = store_sig.select("norm", "grams").unionByName(
+            new_sig.select("norm", "grams"))
+        new_edges = score_pairs(
+            pairs, sig_grams, cfg.link_threshold
+        ).localCheckpoint(eager=True)
+        n_new_edges = new_edges.count()
+        self._log("edges", skipped=False, incremental=True,
+                  new_rows=n_new_edges, wall_s=round(time.time() - t1, 3))
+
+        t2 = time.time()
+        if n_new_edges:
+            old_labels = io.read("labels")
+            old_edges = io.read("edges")
+            labels_new, touched = cc.incremental_components(
+                old_labels, old_edges, new_edges, cfg.cc_max_iter)
+            n_touched = touched.count()
+            # the labels write reads the old snapshot while staging to a
+            # tmp dir; the atomic swap happens after the read finished
+            self._run_stage("labels", {"labels": labels_new}, force=True)
+            self._log("labels_incremental",
+                      touched_components=n_touched,
+                      wall_s=round(time.time() - t2, 3))
+        else:
+            self._log("labels", skipped=True, incremental=True)
+        # appends LAST: every plan above reads the PRE-append snapshots
+        meta = {"stage": "link_incremental", "run_id": cfg.run_id}
+        if n_new_mentions:
+            io.append(new_rows, "mentions", meta=meta)
+            if new_sig.count() > 0:
+                io.append(new_sig, "link_signatures", meta=meta)
+        if n_new_edges:
+            io.append(new_edges, "edges", meta=meta)
+        for name in ("mentions", "link_signatures", "edges"):
+            if len(io.segments(name)) >= self.COMPACT_AFTER:
+                io.compact(name, meta={"stage": "ledger_compact",
+                                       "run_id": cfg.run_id})
+                self._log("ledger_compact", table=name)
+        return {"mentions": n_new_mentions > 0,
+                "edges": n_new_edges > 0,
+                "labels": n_new_edges > 0}
 
     def _compact_ledgers(self, keep_keys: DataFrame | None,
                          force: bool = False) -> None:
@@ -417,6 +658,23 @@ class Pipeline:
                 self.io.compact("quarantine", q, meta=meta)
                 self._log("ledger_compact", table="quarantine",
                           segments=n_seg)
+        if self.io.exists("entity_ids"):
+            n_seg = len(self.io.segments("entity_ids"))
+            if n_seg >= self.COMPACT_AFTER:
+                # fold to the LATEST row per norm (keep its _seq so later
+                # appends still order above it)
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy("norm").orderBy(F.col("_seq").desc())
+                latest = (
+                    self.io.read("entity_ids")
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("norm", "entity_id", "_seq")
+                )
+                self.io.compact("entity_ids", latest, meta=meta)
+                self._log("ledger_compact", table="entity_ids",
+                          segments=n_seg)
 
     def _run_stage_lazy(self, name, thunk, partition_by=None, force=False) -> bool:
         """Resume-aware stage: only build the DataFrames if not committed
@@ -442,7 +700,7 @@ _STAGE_TABLES = {
     "triples_raw": ("triples_raw", "quarantine", "extract_metrics",
                     "extract_done"),
     "mentions": ("mentions",),
-    "edges": ("edges",),
+    "edges": ("edges", "link_signatures"),
     "labels": ("labels",),
     "materialize": ("triples", "entities", "aliases"),
 }
