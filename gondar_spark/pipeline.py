@@ -289,17 +289,24 @@ class Pipeline:
                 force_downstream = n_new > 0
             self._compact_ledgers(src if prune_removed else None,
                                   force=prune_removed)
-            if force_downstream and self._can_link_incremental():
+            if self._can_link_incremental():
                 # O(new) linking: probe the committed signature/band store
                 # with the new mentions, re-run CC only on the components
                 # a new edge touches, and leave the untouched graph alone
-                # — ingest cost tracks the batch, not the corpus.
-                executed.update(self._link_incremental(new_triples))
-                triples_raw = self.io.read("triples_raw")
+                # — ingest cost tracks the batch, not the corpus. Driven
+                # by the link_done ledger (extract_done minus link_done =
+                # files whose linking is pending), so a crash anywhere in
+                # the linking sub-steps resumes idempotently — never a
+                # silent skip of files the extraction ledger already
+                # recorded.
+                link_exec = self._link_incremental()
+                executed.update(link_exec)
                 mentions = self.io.read("mentions")
                 labels = self.io.read("labels")
+                triples_raw = self.io.read("triples_raw")
                 executed["materialize"] = self._materialize_stage(
-                    mentions, labels, triples_raw, force=True)
+                    mentions, labels, triples_raw,
+                    force=force_downstream or any(link_exec.values()))
                 return executed
             force = force or force_downstream
         else:
@@ -376,6 +383,13 @@ class Pipeline:
             force=force,
         )
         labels = self.io.read("labels")
+        # a completed full linking pass covers every extracted file: seed
+        # (or reset) the link_done ledger so later incremental runs link
+        # only what extraction adds after this point
+        if executed["labels"] or not self.io.exists("link_done"):
+            self.io.write(
+                self.io.read("extract_done").distinct(), "link_done",
+                meta={"stage": "labels", "run_id": cfg.run_id})
 
         # stage 6: materialize triples + dictionaries (B11/B13)
         executed["materialize"] = self._materialize_stage(
@@ -492,30 +506,65 @@ class Pipeline:
             return False
         return True
 
-    def _link_incremental(self, new_triples: DataFrame) -> dict:
-        """Linking stages (B5-B9) at O(new-batch) cost:
+    _LINK_KEYS = ["repo", "path", "commit"]
+
+    def _link_incremental(self) -> dict:
+        """Linking stages (B5-B9) at O(pending-batch) cost:
 
           * mentions — new (surface, lang, norm) rows found via a
             broadcast semi/anti pair (the dictionary is SCANNED, never
             shuffled) and segment-appended;
-          * edges — signatures computed for NEW norms only; candidate
-            pairs = new x new band self-join  ∪  a band-key equi-join
-            probe of the committed signature store (band keys re-derive
-            in-row from the stored h-columns — no shuffle of the store);
-            the mega-block cap applies to the COMBINED band population,
-            so a band that ever crossed the cap never emits new pairs
-            (pairs emitted while it was small stay — the batch analog of
-            the streaming max_band freeze; refusals are logged);
+          * edges — signatures computed for norms ABSENT from the
+            committed store; candidate pairs = new x new band self-join
+            ∪ a band-key equi-join probe of the committed signature
+            store (band keys re-derive in-row from the stored h-columns
+            — no shuffle of the store); the mega-block cap applies to
+            the COMBINED band population, so a band that ever crossed
+            the cap never emits new pairs (pairs emitted while it was
+            small stay — the batch analog of the streaming max_band
+            freeze; refusals are logged);
           * labels — CC re-runs ONLY on components touched by a new edge
             (cc.incremental_components); untouched labels pass through.
+
+        CRASH-SAFE RESUME: extraction's ledger advances before linking,
+        so linking must track its own progress or a crash between the
+        two would skip these files forever (extraction's anti-join sees
+        nothing left to do). The unit of progress is the ``link_done``
+        ledger: pending = extract_done ∖ link_done, advanced LAST. Every
+        sub-step re-derives its own todo from committed state, so any
+        crash point replays without duplicating:
+          - mention rows dedup by anti-join against the mentions table;
+          - the new-norm set is "pending norms ∉ link_signatures", and
+            regenerated edges anti-join the edges table before append;
+          - the labels commit manifest records WHICH edge segments it
+            reflects — a crash between the edges append and the labels
+            write leaves an unreflected segment that the next run folds
+            into its incremental CC input.
 
         Equal to the full recompute except for cap-freeze semantics
         (pinned by tests against Pipeline-on-union)."""
         cfg = self.cfg
         io = self.io
+        keys = self._LINK_KEYS
+        done = io.read("extract_done").distinct()
+        if io.exists("link_done"):
+            linked = io.read("link_done")
+            pending = done.join(linked, keys, "left_anti")
+        else:
+            pending = done
+        pending = pending.localCheckpoint(eager=True)
+        n_pending = pending.count()
+        unreflected = self._unreflected_edge_segments()
+        if n_pending == 0 and not unreflected:
+            for stage in ("mentions", "edges", "labels"):
+                self._log(stage, skipped=True, incremental=True)
+            return {"mentions": False, "edges": False, "labels": False}
+
         t0 = time.time()
         old_mentions = io.read("mentions")
-        new_m = normalize.normalize_mentions(new_triples)
+        pending_triples = io.read("triples_raw").join(
+            F.broadcast(pending), keys, "left_semi")
+        new_m = normalize.normalize_mentions(pending_triples)
         # which of the batch's mention rows are genuinely new: semi-join
         # the dictionary against the (small, broadcast) batch, then
         # anti-join the batch against that overlap — both joins broadcast
@@ -526,20 +575,23 @@ class Pipeline:
             F.broadcast(overlap), ["surface", "lang", "norm"], "left_anti"
         ).localCheckpoint(eager=True)
         n_new_mentions = new_rows.count()
-        norm_overlap = old_mentions.select("norm").join(
-            F.broadcast(new_rows.select("norm").distinct()),
-            "norm", "left_semi").distinct()
-        new_norm_rows = new_rows.join(
-            F.broadcast(norm_overlap), "norm", "left_anti")
         self._log("mentions", skipped=False, incremental=True,
-                  new_rows=n_new_mentions,
+                  new_rows=n_new_mentions, pending_files=n_pending,
                   wall_s=round(time.time() - t0, 3))
 
         t1 = time.time()
         store_sig = io.read("link_signatures")
+        # the store is the source of truth for "already blocked": norms
+        # of pending files absent from it (replay-safe on retry)
+        pending_norms = new_m.select("norm").distinct()
+        norm_overlap = store_sig.select("norm").join(
+            F.broadcast(pending_norms), "norm", "left_semi").distinct()
+        new_norm_rows = pending_norms.join(
+            F.broadcast(norm_overlap), "norm", "left_anti")
         new_sig = blocking.minhash_signature_df(
             new_norm_rows, cfg.minhash_hashes, cfg.extractor_seed,
             cfg.shingle_size).localCheckpoint(eager=True)
+        n_new_norms = new_sig.count()
         new_blocks = blocking.band_keys_df(
             new_sig, cfg.minhash_hashes, cfg.lsh_bands)
         store_blocks = blocking.band_keys_df(
@@ -578,44 +630,79 @@ class Pipeline:
         from .operators.scoring import score_pairs
         sig_grams = store_sig.select("norm", "grams").unionByName(
             new_sig.select("norm", "grams"))
+        # anti-join against committed edges: a retry after a crash
+        # between the edges append and the link_done advance regenerates
+        # the same pairs — they must not stack
         new_edges = score_pairs(
             pairs, sig_grams, cfg.link_threshold
-        ).localCheckpoint(eager=True)
+        ).join(io.read("edges").select("norm_a", "norm_b"),
+               ["norm_a", "norm_b"], "left_anti").localCheckpoint(eager=True)
         n_new_edges = new_edges.count()
+        meta = {"stage": "link_incremental", "run_id": cfg.run_id}
+        if n_new_edges:
+            io.append(new_edges, "edges", meta=meta)
         self._log("edges", skipped=False, incremental=True,
-                  new_rows=n_new_edges, wall_s=round(time.time() - t1, 3))
+                  new_rows=n_new_edges, new_norms=n_new_norms,
+                  wall_s=round(time.time() - t1, 3))
 
         t2 = time.time()
-        if n_new_edges:
+        labels_changed = bool(n_new_edges or unreflected)
+        if labels_changed:
+            cc_input = new_edges.select("norm_a", "norm_b")
+            for seg in unreflected:
+                cc_input = cc_input.unionByName(
+                    self.spark.read.parquet(io._path(seg))
+                    .select("norm_a", "norm_b"))
             old_labels = io.read("labels")
-            old_edges = io.read("edges")
+            all_edges = io.read("edges")  # post-append: duplicates with
+            # cc_input are deduped inside incremental CC's distinct
             labels_new, touched = cc.incremental_components(
-                old_labels, old_edges, new_edges, cfg.cc_max_iter)
+                old_labels, all_edges, cc_input, cfg.cc_max_iter)
             n_touched = touched.count()
             # the labels write reads the old snapshot while staging to a
-            # tmp dir; the atomic swap happens after the read finished
-            self._run_stage("labels", {"labels": labels_new}, force=True)
+            # tmp dir; the atomic swap happens only after the read ran.
+            # Its manifest records which edge segments it reflects.
+            io.write(labels_new, "labels", meta={
+                "stage": "labels", "run_id": cfg.run_id,
+                "edge_segments": io.segments("edges"),
+            })
             self._log("labels_incremental",
                       touched_components=n_touched,
+                      unreflected_segments=len(unreflected),
                       wall_s=round(time.time() - t2, 3))
         else:
             self._log("labels", skipped=True, incremental=True)
-        # appends LAST: every plan above reads the PRE-append snapshots
-        meta = {"stage": "link_incremental", "run_id": cfg.run_id}
+        # remaining appends; link_done advances LAST so any crash above
+        # replays this batch instead of losing it
+        if n_new_norms:
+            io.append(new_sig, "link_signatures", meta=meta)
         if n_new_mentions:
             io.append(new_rows, "mentions", meta=meta)
-            if new_sig.count() > 0:
-                io.append(new_sig, "link_signatures", meta=meta)
-        if n_new_edges:
-            io.append(new_edges, "edges", meta=meta)
-        for name in ("mentions", "link_signatures", "edges"):
+        io.append(pending, "link_done", meta=meta)
+        for name in ("mentions", "link_signatures", "edges", "link_done"):
             if len(io.segments(name)) >= self.COMPACT_AFTER:
-                io.compact(name, meta={"stage": "ledger_compact",
-                                       "run_id": cfg.run_id})
+                if name == "link_done":
+                    io.compact(name, io.read(name).distinct(),
+                               meta={"stage": "ledger_compact",
+                                     "run_id": cfg.run_id})
+                else:
+                    io.compact(name, meta={"stage": "ledger_compact",
+                                           "run_id": cfg.run_id})
                 self._log("ledger_compact", table=name)
         return {"mentions": n_new_mentions > 0,
                 "edges": n_new_edges > 0,
-                "labels": n_new_edges > 0}
+                "labels": labels_changed}
+
+    def _unreflected_edge_segments(self) -> list[str]:
+        """Edge segments appended after the last labels write (crash
+        window between the two): the labels manifest lists the segments
+        it reflects; anything newer must enter the next incremental CC.
+        A labels manifest without the key predates segments entirely
+        (full-run labels are written right after a base edges write,
+        which supersedes all segments), so the default is []."""
+        meta = self.io.commit_meta("labels") or {}
+        reflected = set(meta.get("meta", {}).get("edge_segments", []))
+        return [s for s in self.io.segments("edges") if s not in reflected]
 
     def _compact_ledgers(self, keep_keys: DataFrame | None,
                          force: bool = False) -> None:

@@ -171,6 +171,85 @@ def test_entity_id_stable_under_smaller_newcomer(spark, tmp_path):
             == _win(0))
 
 
+def _crash_on(io, method: str, table: str):
+    """Wrap io.<method> to raise when first called for ``table`` —
+    simulates a hard kill at that exact commit point."""
+    real = getattr(io, method)
+
+    def boom(df, name, *a, **kw):
+        if name == table:
+            raise RuntimeError(f"simulated crash at {method}({table})")
+        return real(df, name, *a, **kw)
+
+    setattr(io, method, boom)
+    return lambda: setattr(io, method, real)
+
+
+def _expected_state(spark, tmp_path, source_df):
+    cfg = JobConfig(warehouse=str(tmp_path / "wh_ref"), run_id="ref")
+    ref = Pipeline(spark, cfg)
+    ref.run(source_df=source_df)
+    return ref
+
+
+def test_link_crash_before_ledger_advance_replays(spark, tmp_path):
+    """Kill the run right before link_done advances: the batch's edges /
+    signatures / mentions are already appended. The next run must replay
+    the pending files WITHOUT duplicating anything and converge to the
+    from-scratch state."""
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="r1")
+    pipe = Pipeline(spark, cfg)
+    run1 = _src(spark, [("a.py", _win(2)), ("b.py", _win(4))])
+    pipe.run(source_df=run1)
+
+    both = run1.unionByName(_src(spark, [("c.py", _win(0)),
+                                         ("d.py", _win(6))]))
+    restore = _crash_on(pipe.io, "append", "link_done")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run(source_df=both, incremental=True)
+    restore()
+
+    pipe.run(source_df=both, incremental=True)  # replay
+    ref = _expected_state(spark, tmp_path, both)
+    for table, cols in [("mentions", ["surface", "lang", "norm"]),
+                        ("edges", ["norm_a", "norm_b"]),
+                        ("labels", ["norm", "component"])]:
+        got = pipe.io.read(table)
+        assert _set(got, cols) == _set(ref.io.read(table), cols), table
+        assert got.count() == got.select(cols).distinct().count(), \
+            f"{table}: replay stacked duplicates"
+
+
+def test_link_crash_before_labels_folds_unreflected_edges(spark, tmp_path):
+    """Kill the run between the edges append and the labels write: the
+    labels manifest doesn't list the new segment, so the next run must
+    fold it into its incremental CC input (unreflected-segment path)."""
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="r1")
+    pipe = Pipeline(spark, cfg)
+    run1 = _src(spark, [("a.py", _win(2)), ("b.py", _win(4))])
+    pipe.run(source_df=run1)
+
+    both = run1.unionByName(_src(spark, [("c.py", _win(0)),
+                                         ("d.py", _win(6))]))
+    restore = _crash_on(pipe.io, "write", "labels")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run(source_df=both, incremental=True)
+    restore()
+    # the crash left an edge segment the labels manifest doesn't reflect
+    assert pipe._unreflected_edge_segments()
+
+    pipe.run(source_df=both, incremental=True)
+    assert not pipe._unreflected_edge_segments()
+    ref = _expected_state(spark, tmp_path, both)
+    for table, cols in [("mentions", ["surface", "lang", "norm"]),
+                        ("edges", ["norm_a", "norm_b"]),
+                        ("labels", ["norm", "component"])]:
+        got = pipe.io.read(table)
+        assert _set(got, cols) == _set(ref.io.read(table), cols), table
+        assert got.count() == got.select(cols).distinct().count(), \
+            f"{table}: replay stacked duplicates"
+
+
 def test_incremental_components_fuzz(spark):
     """Random graphs: incremental_components(old_labels, old, new) must
     equal connected_components(old ∪ new) — bridges, cycles, brand-new

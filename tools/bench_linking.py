@@ -5,16 +5,20 @@ pays O(new batch) per ingest (signatures for new norms only, band-store
 equi-join probe, CC on touched components), where the old design
 re-blocked and re-labeled the whole corpus every run.
 
-Method: two warehouses are seeded with corpora of 1 and 10 seed-batches
-whose mention DICTIONARY also grows ~10x (each batch draws a fresh
-random entity pool via its seed — a fixed pool would make the old
-design accidentally cheap). The SAME new batch (yet another pool ->
-genuinely new norms + store-probe hits) is then ingested incrementally
-into each; we report the summed mentions+edges+labels walls from
-lineage at both corpus sizes plus their ratio (~1.0 = flat, the
-pre-round-5 full-relink design tracked the corpus growth factor). For
-contrast, the 10x warehouse is then force-relinked from scratch and
-that wall is reported as the cost the incremental path avoids.
+Corpus shape: the mention DICTIONARY and the similarity graph must grow
+WITH the corpus (synth's fixed 24-entity pool makes full relink
+accidentally cheap at any file count). Each file carries one log()
+literal; files pair up into two-member families whose mentions are
+overlapping windows of the family's md5 hex (3-gram jaccard ~0.64 >=
+0.6 -> one edge per family), so |norms| ~ n_files and |edges| ~
+n_files/2. The ingest batch adds new families PLUS probe-hit members
+(window of an OLD family -> links into a committed component), so the
+batch exercises both the new x new and new x store paths and touches
+old components.
+
+Reported: summed mentions+edges+labels walls from lineage for the SAME
+batch at 1x and 10x corpus (ratio ~1.0 = flat), plus the full
+force-relink wall at 10x — the O(corpus) cost the probe path avoids.
 
 Usage: python tools/bench_linking.py [base_files] [batch_files]
 Prints one JSON line.
@@ -32,41 +36,71 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from gondar_spark.config import JobConfig  # noqa: E402
 from gondar_spark.pipeline import Pipeline  # noqa: E402
 from gondar_spark.session import build_session  # noqa: E402
-from gondar_spark.synth import SynthConfig, generate_source_df  # noqa: E402
 
 _LINK_STAGES = ("mentions", "edges", "labels_incremental")
 
 
-def _link_wall(pipe: Pipeline, run_id: str) -> float:
+def _family_files(spark, fam_start: int, fam_end: int, member: int,
+                  offset: int, tag: str):
+    """One file per family in [fam_start, fam_end): mention = 20-char
+    window of md5('fam:<f>') at ``offset`` (offsets 0 and 4 overlap in
+    16 of 20 chars -> jaccard ~0.64, an edge; offsets 0 and 12 share 8
+    -> no edge). Pure column expressions — generation is distributed."""
+    n = fam_end - fam_start
+    return (
+        spark.range(fam_start, fam_end)
+        .select(
+            F.lit("benchrepo").alias("repo"),
+            F.concat(F.lit(f"src/{tag}_m{member}_"),
+                     F.col("id").cast("string"),
+                     F.lit(".py")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(
+                F.lit('    log("'),
+                F.substring(F.md5(F.concat(F.lit("fam:"),
+                                           F.col("id").cast("string"))),
+                            offset + 1, 20),
+                F.lit('")'),
+            ).alias("content"),
+        )
+        .repartition(max(8, n // 4000))
+    )
+
+
+def _link_wall(pipe: Pipeline, run_id: str, stages=_LINK_STAGES) -> float:
     recs = [r for r in pipe.lineage()
-            if r.get("run_id") == run_id and r["stage"] in _LINK_STAGES
+            if r.get("run_id") == run_id and r["stage"] in stages
             and "wall_s" in r]
     return round(sum(r["wall_s"] for r in recs), 3)
 
 
-def ingest_at_scale(spark, base_files: int, n_batches: int,
-                    batch_files: int) -> dict:
+def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
     wh = tempfile.mkdtemp(prefix="gondar_link_wh_")
     corpus = tempfile.mkdtemp(prefix="gondar_link_corpus_")
     try:
-        for j in range(n_batches):
-            generate_source_df(
-                spark, SynthConfig(n_files=base_files, seed=100 + j),
-                partitions=32,
-            ).write.mode("append").parquet(corpus)
-        n_files = base_files * n_batches
+        for member, off in ((0, 0), (1, 4)):
+            _family_files(spark, 0, n_families, member, off, "seed") \
+                .write.mode("append").parquet(corpus)
         pipe = Pipeline(spark, JobConfig(warehouse=wh, run_id="seed"))
         t0 = time.time()
         pipe.run(source_path=corpus)
         seed_wall = round(time.time() - t0, 3)
 
-        generate_source_df(
-            spark, SynthConfig(n_files=batch_files, seed=999),
-            partitions=8,
-        ).write.mode("append").parquet(corpus)
+        # the ingest batch: new families (new x new pairs) + third
+        # members of a slice of OLD families (store-probe hits that
+        # touch committed components)
+        _family_files(spark, n_families, n_families + batch_families,
+                      0, 0, "newfam").write.mode("append").parquet(corpus)
+        _family_files(spark, n_families, n_families + batch_families,
+                      1, 4, "newfam").write.mode("append").parquet(corpus)
+        _family_files(spark, 0, batch_families, 2, 2, "probe") \
+            .write.mode("append").parquet(corpus)
         pipe.cfg = JobConfig(warehouse=wh, run_id="ingest")
         t0 = time.time()
         pipe.run(source_path=corpus, incremental=True)
@@ -74,9 +108,11 @@ def ingest_at_scale(spark, base_files: int, n_batches: int,
         link_wall = _link_wall(pipe, "ingest")
         n_norms = pipe.io.read("mentions").select("norm").distinct().count()
         n_edges = pipe.io.read("edges").count()
+        touched = [r for r in pipe.lineage()
+                   if r.get("run_id") == "ingest"
+                   and r["stage"] == "labels_incremental"]
 
-        # the avoided cost: full relink of the grown corpus (same
-        # warehouse, force recompute of mentions/edges/labels)
+        # the avoided cost: full relink of the grown corpus
         pipe.cfg = JobConfig(warehouse=wh, run_id="relink")
         t0 = time.time()
         pipe.run(source_path=corpus, force=True)
@@ -86,7 +122,10 @@ def ingest_at_scale(spark, base_files: int, n_batches: int,
             if r.get("run_id") == "relink" and "wall_s" in r
             and r["stage"] in ("mentions", "edges", "labels")), 3)
         return {
-            "n_files": n_files, "dict_norms": n_norms, "edges": n_edges,
+            "families": n_families, "dict_norms": n_norms,
+            "edges": n_edges,
+            "touched_components": (touched[-1]["touched_components"]
+                                   if touched else 0),
             "seed_run_wall_s": seed_wall,
             "ingest_run_wall_s": ingest_wall,
             "link_wall_s": link_wall,
@@ -99,8 +138,8 @@ def ingest_at_scale(spark, base_files: int, n_batches: int,
 
 
 def main() -> None:
-    base_files = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
-    batch_files = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    base_families = int(sys.argv[1]) if len(sys.argv) > 1 else 15_000
+    batch_families = int(sys.argv[2]) if len(sys.argv) > 2 else 1_500
     spark = build_session(
         app_name="gondar_bench_linking",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
@@ -108,12 +147,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        small = ingest_at_scale(spark, base_files, 1, batch_files)
-        big = ingest_at_scale(spark, base_files, 10, batch_files)
+        small = ingest_at_scale(spark, base_families, batch_families)
+        big = ingest_at_scale(spark, base_families * 10, batch_families)
         ratio = (round(big["link_wall_s"] / small["link_wall_s"], 2)
                  if small["link_wall_s"] else None)
         print(json.dumps({
-            "batch_files": batch_files,
+            "batch_families": batch_families,
             "at_1x": small,
             "at_10x": big,
             "link_wall_ratio_10x": ratio,
