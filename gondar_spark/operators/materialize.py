@@ -91,3 +91,174 @@ def entity_mention_counts(triples: DataFrame, labels: DataFrame) -> DataFrame:
         "entity_id", F.coalesce("component", "norm")
     )
     return linked.groupBy("entity_id").agg(F.count("*").alias("n_mentions"))
+
+
+def full_outputs(
+    mentions: DataFrame, triples_raw: DataFrame, mapping: DataFrame
+) -> dict[str, DataFrame]:
+    """One-shot materialize: canonical triples + entities (with
+    n_mentions) + aliases from the full corpus and a complete
+    norm -> entity_id ``mapping`` (linked norms via their component id,
+    singletons as themselves)."""
+    labels = mapping.select("norm", F.col("entity_id").alias("component"))
+    entities, aliases = entity_tables(mentions, labels)
+    n_m = entity_mention_counts(triples_raw, labels)
+    entities_full = entities.join(n_m, "entity_id", "left").withColumn(
+        "n_mentions", F.coalesce("n_mentions", F.lit(0))
+    )
+    return {
+        "triples": canonical_triples(triples_raw, labels),
+        "entities": entities_full,
+        "aliases": aliases,
+    }
+
+
+def incremental_outputs(
+    old_triples: DataFrame,
+    old_entities: DataFrame,
+    old_aliases: DataFrame,
+    mentions: DataFrame,
+    triples_raw: DataFrame,
+    new_raw: DataFrame,
+    mapping: DataFrame,
+    prior_map: DataFrame,
+    changed: DataFrame,
+) -> tuple[dict[str, DataFrame], DataFrame, DataFrame]:
+    """Affected-group splice: recompute ONLY the output groups an ingest
+    touches and splice them into the prior snapshot — the O(new) analog
+    of ``full_outputs`` (which re-aggregates every group every run).
+
+    Inputs: the prior outputs, the FULL post-ingest mention/raw-triple
+    tables, the pending batch's raw triples ``new_raw``, the full
+    post-ingest norm -> entity_id ``mapping``, the pre-ingest
+    ``prior_map``, and ``changed`` = mapping \\ prior_map (new or moved
+    norms). Scope (all driver-small, broadcast into column-pruned
+    scans):
+      * affected entity ids = changed mappings' new ids + their prior
+        ids (absorbed entities vanish) + ids referenced by the pending
+        batch's linkable objects (their n_mentions/provenance grow);
+      * affected triple groups = groups of pending rows + groups whose
+        obj was an absorbed prior id + those groups re-keyed to the
+        surviving id.
+    Exact-equal to ``full_outputs`` over the union by construction and
+    by test (tests/test_incremental_materialize.py) and by the
+    ``incremental_kg_triples``/``incremental_kg_entities`` DuckDB
+    oracles. Returns (outputs, affected_ids, drop_keys) — the two scope
+    frames are localCheckpointed so callers can count them for lineage
+    without recomputation."""
+    labels_stable = mapping.select(
+        "norm", F.col("entity_id").alias("component"))
+
+    # ---- affected entity ids --------------------------------------------
+    changed_norms = changed.select("norm").distinct()
+    prior_ids = (
+        prior_map.join(F.broadcast(changed_norms), "norm", "left_semi")
+        .select("entity_id").distinct()
+    )
+    new_ids = changed.select("entity_id").distinct()
+    pending_norms = (
+        new_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
+        .select(norm_col("obj").alias("norm"))
+        .filter(F.length("norm") > 0).distinct()
+    )
+    pending_ids = (
+        mapping.join(F.broadcast(pending_norms), "norm", "left_semi")
+        .select("entity_id").distinct()
+    )
+    affected_ids = (
+        prior_ids.union(new_ids).union(pending_ids)
+        .distinct().localCheckpoint(eager=True)
+    )
+
+    # ---- entities + aliases: recompute affected groups ------------------
+    members = mapping.join(
+        F.broadcast(affected_ids), "entity_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    labels_aff = members.select(
+        "norm", F.col("entity_id").alias("component"))
+    aff_mentions = mentions.join(
+        F.broadcast(members.select("norm")), "norm", "left_semi")
+    ents_new, aliases_new = entity_tables(aff_mentions, labels_aff)
+    tr_linkable_aff = (
+        triples_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
+        .withColumn("_n", norm_col("obj"))
+        .join(F.broadcast(members.select(F.col("norm").alias("_n"))),
+              "_n", "left_semi").drop("_n")
+    )
+    n_m = entity_mention_counts(tr_linkable_aff, labels_aff)
+    entities_aff = ents_new.join(n_m, "entity_id", "left").withColumn(
+        "n_mentions", F.coalesce("n_mentions", F.lit(0)))
+    entities_out = (
+        old_entities
+        .join(F.broadcast(affected_ids), "entity_id", "left_anti")
+        .unionByName(entities_aff)
+    )
+    aliases_out = (
+        old_aliases
+        .join(F.broadcast(affected_ids), "entity_id", "left_anti")
+        .unionByName(aliases_new)
+    )
+
+    # ---- triples: affected group keys -----------------------------------
+    keys_a = (
+        canonical_triples(new_raw, labels_stable)
+        .select("subj", "pred", "obj").distinct()
+    )
+    # groups whose obj is an absorbed prior id: member rows re-key to
+    # the surviving id, so both the old and the rewritten group (and
+    # any pre-existing group at the surviving id) recompute
+    keys_b_old = (
+        old_triples.join(F.broadcast(prior_ids),
+                         old_triples.obj == prior_ids.entity_id,
+                         "left_semi")
+        .select("subj", "pred", "obj").distinct()
+    )
+    absorbed_to_new = (
+        prior_map.join(F.broadcast(changed_norms), "norm", "left_semi")
+        .join(mapping.withColumnsRenamed(
+            {"entity_id": "new_id"}), "norm")
+        .select(F.col("entity_id").alias("obj"), "new_id").distinct()
+    )
+    keys_b_new = (
+        keys_b_old.join(F.broadcast(absorbed_to_new), "obj")
+        .select("subj", "pred", F.col("new_id").alias("obj")).distinct()
+    )
+    drop_keys = (
+        keys_a.union(keys_b_old).union(keys_b_new)
+        .distinct().localCheckpoint(eager=True)
+    )
+
+    # ---- triples: candidate slice + exact re-aggregation ----------------
+    xs = drop_keys.select("obj").distinct()
+    member_norms_x = (
+        mapping.join(F.broadcast(xs),
+                     mapping.entity_id == xs.obj, "left_semi")
+        .select("norm")
+    )
+    cand_nl = triples_raw.filter(
+        ~F.col("kind").isin(*LINKABLE_KINDS)
+    ).join(F.broadcast(xs), "obj", "left_semi")
+    probe_norms = member_norms_x.union(
+        xs.select(F.col("obj").alias("norm"))).distinct()
+    cand_l = (
+        triples_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
+        .withColumn("_n", norm_col("obj"))
+        .join(F.broadcast(probe_norms.withColumnRenamed("norm", "_n")),
+              "_n", "left_semi").drop("_n")
+    )
+    recomputed = (
+        canonical_triples(cand_nl.unionByName(cand_l), labels_stable)
+        .join(F.broadcast(drop_keys), ["subj", "pred", "obj"],
+              "left_semi")
+    )
+    triples_out = (
+        old_triples.join(F.broadcast(drop_keys),
+                         ["subj", "pred", "obj"], "left_anti")
+        .unionByName(recomputed)
+    )
+    outputs = {
+        "triples": triples_out,
+        "entities": entities_out,
+        "aliases": aliases_out,
+    }
+    return outputs, affected_ids, drop_keys

@@ -448,8 +448,6 @@ class Pipeline:
             .withColumn("entity_id", F.col("norm"))
         )
         mapping = linked.unionByName(singles).localCheckpoint(eager=True)
-        labels_stable = mapping.select(
-            "norm", F.col("entity_id").alias("component"))
         changed = None
         if has_ledger:
             # norms whose mapping is new or moved (O(changed); feeds the
@@ -464,24 +462,11 @@ class Pipeline:
         )
         if can_inc:
             executed = self._materialize_incremental(
-                mentions, triples_raw, mapping, prior_map, changed,
-                labels_stable)
+                mentions, triples_raw, mapping, prior_map, changed)
         else:
             def _mat():
-                entities, aliases = materialize.entity_tables(
-                    mentions, labels_stable)
-                n_mentions = materialize.entity_mention_counts(
-                    triples_raw, labels_stable)
-                entities_full = entities.join(
-                    n_mentions, "entity_id", "left"
-                ).withColumn("n_mentions",
-                             F.coalesce("n_mentions", F.lit(0)))
-                return {
-                    "triples": materialize.canonical_triples(
-                        triples_raw, labels_stable),
-                    "entities": entities_full,
-                    "aliases": aliases,
-                }
+                return materialize.full_outputs(
+                    mentions, triples_raw, mapping)
 
             executed = self._run_stage_lazy(
                 "materialize", _mat,
@@ -518,30 +503,20 @@ class Pipeline:
                                  triples_raw: DataFrame,
                                  mapping: DataFrame,
                                  prior_map: DataFrame,
-                                 changed: DataFrame,
-                                 labels_stable: DataFrame) -> bool:
+                                 changed: DataFrame) -> bool:
         """Recompute ONLY the output groups this ingest touches — the
         last O(corpus)-shuffle per ingest (full materialize re-aggregates
         every triple group and every entity on every run with changes).
 
-        Scope derivation (all driver-small, broadcast into scans):
-          * pending files = extract_done ∖ mat_done (own ledger — crash
-            anywhere replays idempotently, advanced LAST);
-          * affected entity ids = new/changed mappings' ids + their prior
-            ids (absorbed entities vanish) + ids referenced by pending
-            files' linkable objects (their n_mentions/provenance grow);
-          * affected triple groups = groups of pending rows + groups
-            whose obj was an absorbed id (their member rows re-key to
-            the surviving id) + those surviving-id groups themselves.
-        Affected groups are re-aggregated from a candidate slice of the
-        inputs (two column-pruned scans with broadcast semi-joins — no
-        corpus-wide shuffle), then outputs = old ∖ affected ∪ recomputed.
-        Exact-equal to the full path: pinned by
-        tests/test_incremental_materialize.py against a same-state full
-        recompute. Output writes stay full atomic snapshots (at Iceberg
-        scale the write becomes a row-level MERGE on the same delta)."""
-        from .operators.normalize import LINKABLE_KINDS, norm_col
-
+        Pending files = extract_done ∖ mat_done (own ledger — crash
+        anywhere replays idempotently, advanced LAST); the affected-group
+        scope derivation and splice live in
+        operators/materialize.incremental_outputs (shared with the
+        oracle-gated ``incremental_kg_*`` queries). Exact-equal to the
+        full path: pinned by tests/test_incremental_materialize.py
+        against a same-state full recompute. Output writes stay full
+        atomic snapshots (at Iceberg scale the write becomes a row-level
+        MERGE on the same delta)."""
         io = self.io
         t0 = time.time()
         keys = self._LINK_KEYS
@@ -555,122 +530,14 @@ class Pipeline:
             return False
         new_raw = triples_raw.join(F.broadcast(pending), keys, "left_semi")
 
-        # ---- affected entity ids ----------------------------------------
-        changed_norms = changed.select("norm").distinct()
-        prior_ids = (
-            prior_map.join(F.broadcast(changed_norms), "norm", "left_semi")
-            .select("entity_id").distinct()
-        )
-        new_ids = changed.select("entity_id").distinct()
-        pending_norms = (
-            new_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
-            .select(norm_col("obj").alias("norm"))
-            .filter(F.length("norm") > 0).distinct()
-        )
-        pending_ids = (
-            mapping.join(F.broadcast(pending_norms), "norm", "left_semi")
-            .select("entity_id").distinct()
-        )
-        affected_ids = (
-            prior_ids.union(new_ids).union(pending_ids)
-            .distinct().localCheckpoint(eager=True)
-        )
-
-        # ---- entities + aliases: recompute affected groups ---------------
-        members = mapping.join(
-            F.broadcast(affected_ids), "entity_id", "left_semi"
-        ).localCheckpoint(eager=True)
-        labels_aff = members.select(
-            "norm", F.col("entity_id").alias("component"))
-        aff_mentions = mentions.join(
-            F.broadcast(members.select("norm")), "norm", "left_semi")
-        ents_new, aliases_new = materialize.entity_tables(
-            aff_mentions, labels_aff)
-        tr_linkable_aff = (
-            triples_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
-            .withColumn("_n", norm_col("obj"))
-            .join(F.broadcast(members.select(F.col("norm").alias("_n"))),
-                  "_n", "left_semi").drop("_n")
-        )
-        n_m = materialize.entity_mention_counts(tr_linkable_aff, labels_aff)
-        entities_aff = ents_new.join(n_m, "entity_id", "left").withColumn(
-            "n_mentions", F.coalesce("n_mentions", F.lit(0)))
-        entities_out = (
-            io.read("entities")
-            .join(F.broadcast(affected_ids), "entity_id", "left_anti")
-            .unionByName(entities_aff)
-        )
-        aliases_out = (
-            io.read("aliases")
-            .join(F.broadcast(affected_ids), "entity_id", "left_anti")
-            .unionByName(aliases_new)
-        )
-
-        # ---- triples: affected group keys ---------------------------------
-        old_triples = io.read("triples")
-        keys_a = (
-            materialize.canonical_triples(new_raw, labels_stable)
-            .select("subj", "pred", "obj").distinct()
-        )
-        # groups whose obj is an absorbed prior id: member rows re-key to
-        # the surviving id, so both the old and the rewritten group (and
-        # any pre-existing group at the surviving id) recompute
-        keys_b_old = (
-            old_triples.join(F.broadcast(prior_ids),
-                             old_triples.obj == prior_ids.entity_id,
-                             "left_semi")
-            .select("subj", "pred", "obj").distinct()
-        )
-        absorbed_to_new = (
-            prior_map.join(F.broadcast(changed_norms), "norm", "left_semi")
-            .join(mapping.withColumnsRenamed(
-                {"entity_id": "new_id"}), "norm")
-            .select(F.col("entity_id").alias("obj"), "new_id").distinct()
-        )
-        keys_b_new = (
-            keys_b_old.join(F.broadcast(absorbed_to_new), "obj")
-            .select("subj", "pred", F.col("new_id").alias("obj")).distinct()
-        )
-        drop_keys = (
-            keys_a.union(keys_b_old).union(keys_b_new)
-            .distinct().localCheckpoint(eager=True)
-        )
-
-        # ---- triples: candidate slice + exact re-aggregation --------------
-        xs = drop_keys.select("obj").distinct()
-        member_norms_x = (
-            mapping.join(F.broadcast(xs),
-                         mapping.entity_id == xs.obj, "left_semi")
-            .select("norm")
-        )
-        cand_nl = triples_raw.filter(
-            ~F.col("kind").isin(*LINKABLE_KINDS)
-        ).join(F.broadcast(xs), "obj", "left_semi")
-        probe_norms = member_norms_x.union(
-            xs.select(F.col("obj").alias("norm"))).distinct()
-        cand_l = (
-            triples_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
-            .withColumn("_n", norm_col("obj"))
-            .join(F.broadcast(probe_norms.withColumnRenamed("norm", "_n")),
-                  "_n", "left_semi").drop("_n")
-        )
-        recomputed = (
-            materialize.canonical_triples(
-                cand_nl.unionByName(cand_l), labels_stable)
-            .join(F.broadcast(drop_keys), ["subj", "pred", "obj"],
-                  "left_semi")
-        )
-        triples_out = (
-            old_triples.join(F.broadcast(drop_keys),
-                             ["subj", "pred", "obj"], "left_anti")
-            .unionByName(recomputed)
-        )
+        outputs, affected_ids, drop_keys = materialize.incremental_outputs(
+            io.read("triples"), io.read("entities"), io.read("aliases"),
+            mentions, triples_raw, new_raw, mapping, prior_map, changed)
 
         rows = {}
-        for tbl, df, pb in (("triples", triples_out, ["pred"]),
-                            ("entities", entities_out, None),
-                            ("aliases", aliases_out, ["lang"])):
-            commit = io.write(df, tbl, partition_by=pb, meta={
+        for tbl, pb in (("triples", ["pred"]), ("entities", None),
+                        ("aliases", ["lang"])):
+            commit = io.write(outputs[tbl], tbl, partition_by=pb, meta={
                 "stage": "materialize", "run_id": self.cfg.run_id})
             rows[tbl] = commit.get("rows")
         io.append(pending, "mat_done",

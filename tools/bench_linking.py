@@ -106,6 +106,7 @@ def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
         pipe.run(source_path=corpus, incremental=True)
         ingest_wall = round(time.time() - t0, 3)
         link_wall = _link_wall(pipe, "ingest")
+        mat_wall = _link_wall(pipe, "ingest", stages=("materialize",))
         n_norms = pipe.io.read("mentions").select("norm").distinct().count()
         n_edges = pipe.io.read("edges").count()
         touched = [r for r in pipe.lineage()
@@ -121,6 +122,10 @@ def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
             r["wall_s"] for r in pipe.lineage()
             if r.get("run_id") == "relink" and "wall_s" in r
             and r["stage"] in ("mentions", "edges", "labels")), 3)
+        full_mat_wall = round(sum(
+            r["wall_s"] for r in pipe.lineage()
+            if r.get("run_id") == "relink" and "wall_s" in r
+            and r["stage"] == "materialize"), 3)
         return {
             "families": n_families, "dict_norms": n_norms,
             "edges": n_edges,
@@ -129,7 +134,9 @@ def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
             "seed_run_wall_s": seed_wall,
             "ingest_run_wall_s": ingest_wall,
             "link_wall_s": link_wall,
+            "materialize_wall_s": mat_wall,
             "full_relink_link_wall_s": full_link_wall,
+            "full_relink_materialize_wall_s": full_mat_wall,
             "full_relink_run_wall_s": full_wall,
         }
     finally:
@@ -156,9 +163,16 @@ def main() -> None:
             "at_1x": small,
             "at_10x": big,
             "link_wall_ratio_10x": ratio,
+            "materialize_wall_ratio_10x": round(
+                big["materialize_wall_s"] / small["materialize_wall_s"], 2)
+            if small["materialize_wall_s"] else None,
             "incremental_vs_full_relink_speedup_10x": round(
                 big["full_relink_link_wall_s"] / big["link_wall_s"], 2)
             if big["link_wall_s"] else None,
+            "materialize_vs_full_speedup_10x": round(
+                big["full_relink_materialize_wall_s"]
+                / big["materialize_wall_s"], 2)
+            if big["materialize_wall_s"] else None,
         }))
     finally:
         spark.stop()
