@@ -1510,6 +1510,70 @@ def _kg_incremental_outputs(spark):
     return outputs
 
 
+def q_streaming_kg_triples(spark, sf_dir):
+    """STREAMING KG construction, hash-verified: the fixture is split
+    into two parquet waves and drained through run_streaming_kg_ingest
+    (a real readStream + foreachBatch, maxFilesPerTrigger=1 -> each wave
+    is its own micro-batch = one O(new) incremental pipeline ingest:
+    ledger-gated extraction, store-probe linking, CC on touched
+    components, affected-group materialize splice). The warehouse's
+    canonical triples are then exported with stable entity ids resolved
+    to their component's min-label canonical form (the ledger's
+    first-assigned ids deliberately survive merges, so the export
+    translates them through entity_ids -> min member norm) and
+    re-grouped — which must hash-equal the ONE-SHOT batch oracle
+    (kg_canonical_triples' DuckDB chain). Streaming, incremental ingest,
+    and canonical export verified in one query."""
+    import tempfile
+
+    from gondar_spark.config import JobConfig
+    from gondar_spark.pipeline import Pipeline
+    from gondar_spark.streaming.jobs import run_streaming_kg_ingest
+
+    key = ("streaming_kg", sf_dir)
+    if key not in _CENTROID_CACHE:
+        base = tempfile.mkdtemp(prefix="gondar_stream_kg_")
+        src = spark.read.parquet(_KG_FIXTURE)
+        for i in range(2):
+            (src.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == i)
+             .coalesce(1).write.mode("append").parquet(f"{base}/src"))
+        run_streaming_kg_ingest(
+            spark, f"{base}/src", f"{base}/wh", f"{base}/ckpt",
+            f"{base}/corpus", max_files_per_trigger=1)
+        _CENTROID_CACHE[key] = f"{base}/wh"
+    pipe = Pipeline(spark, JobConfig(
+        warehouse=_CENTROID_CACHE[key], run_id="export"))
+    triples = pipe.io.read("triples")
+    latest = pipe.io.read("entity_ids").groupBy("norm").agg(
+        F.max_by("entity_id", "_seq").alias("eid"))
+    resolve = latest.groupBy("eid").agg(F.min("norm").alias("minlab"))
+    remapped = (
+        triples.join(
+            F.broadcast(resolve),
+            (triples.obj == resolve.eid)
+            & F.col("kind").isin("symbol", "literal"),
+            "left")
+        .withColumn("obj", F.coalesce("minlab", "obj"))
+        .drop("eid", "minlab")
+    )
+    # regroup: id translation can only merge whole groups, and the
+    # re-aggregation below is exactly the one-shot grouping
+    return (
+        remapped.groupBy("subj", "pred", "obj")
+        .agg(F.min("kind").alias("kind"),
+             F.min_by(F.struct("repo", "path", "commit", "chunk_id"),
+                      F.struct("repo", "path", "commit", "chunk_id")
+                      ).alias("_p"),
+             F.sum("n_provenances").alias("n_provenances"))
+        .select("subj", "pred", "obj", "kind",
+                F.col("_p.repo").alias("repo"),
+                F.col("_p.path").alias("path"),
+                F.col("_p.commit").alias("commit"),
+                F.col("_p.chunk_id").alias("chunk_id"),
+                "n_provenances")
+    )
+
+
 def q_incremental_kg_triples(spark, sf_dir):
     """Incremental-ingest canonical triples (see
     _kg_incremental_outputs) — shares kg_canonical_triples' one-shot
@@ -1542,6 +1606,7 @@ def _registry() -> list[tuple[str, int, Callable]]:
     # (name, round_added_or_last_changed, fn)
     return [
         # --- round 5 ---------------------------------------------------
+        ("streaming_kg_triples", 5, q_streaming_kg_triples),
         ("kg_canonical_triples", 5, q_kg_canonical_triples),
         ("incremental_kg_triples", 5, q_incremental_kg_triples),
         ("incremental_kg_entities", 5, q_incremental_kg_entities),
@@ -2803,6 +2868,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": _kg_edges_sql(),
         "kg_entities": _kg_entities_sql(),
         "kg_canonical_triples": _kg_canonical_triples_sql(),
+        "streaming_kg_triples": _kg_canonical_triples_sql(),
         "incremental_kg_triples": _kg_canonical_triples_sql(),
         "incremental_kg_entities": _kg_entities_full_sql(),
         "ivf_topk": _ivf_topk_sql(),

@@ -56,7 +56,20 @@ class Pipeline:
                   "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-    def lineage(self) -> list[dict]:
+    def lineage(self, all_runs: bool = False) -> list[dict]:
+        """This run's lineage records; ``all_runs=True`` returns every
+        run's records for this warehouse in timestamp order (e.g. the
+        per-micro-batch run ids a streaming ingest generates)."""
+        if all_runs:
+            if not os.path.isdir(self._lineage_path):
+                return []
+            recs: list[dict] = []
+            for name in os.listdir(self._lineage_path):
+                if not name.endswith(".jsonl"):
+                    continue
+                with open(os.path.join(self._lineage_path, name)) as f:
+                    recs += [json.loads(ln) for ln in f if ln.strip()]
+            return sorted(recs, key=lambda r: r.get("ts", 0))
         p = os.path.join(self._lineage_path, f"{self.cfg.run_id}.jsonl")
         if not os.path.exists(p):
             return []

@@ -62,6 +62,60 @@ def run_streaming_extraction(
     q.awaitTermination()
 
 
+def run_streaming_kg_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    corpus_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list[int]:
+    """Streaming KG CONSTRUCTION: a file-source stream drained through
+    foreachBatch, where every micro-batch is ONE O(new) incremental
+    pipeline ingest — extraction's anti-join ledger skips seen files,
+    linking probes the committed signature/band store, CC re-labels only
+    touched components, and materialize splices only affected output
+    groups. The batch pipeline IS the stream processor: no second code
+    path, so streaming results are definitionally the batch results.
+
+    Exactly-once end to end by two independent mechanisms: the streaming
+    checkpoint never re-delivers a source file, and even if a batch IS
+    replayed (crash before checkpoint commit, after partial pipeline
+    work), every pipeline ledger (extract_done / link_done / mat_done)
+    makes the replay converge idempotently — pinned by
+    tests/test_streaming_kg_ingest.py, whose final warehouse must
+    exact-equal a one-shot batch build over the same files.
+
+    ``corpus_dir`` accumulates the batches as the pipeline's append-only
+    corpus table (at production scale: an Iceberg append per batch).
+    Returns the list of processed batch ids."""
+    from ..config import JobConfig
+    from ..pipeline import Pipeline
+
+    seen: list[int] = []
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(corpus_dir)
+        pipe = Pipeline(
+            batch_df.sparkSession,
+            JobConfig(warehouse=warehouse, run_id=f"stream-{batch_id}"),
+        )
+        pipe.run(source_path=corpus_dir, incremental=True)
+        seen.append(batch_id)
+
+    q = (
+        stream_source(spark, src_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen
+
+
 def stateful_repo_totals(triple_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: running per-repo triple totals
     across micro-batches via ``applyInPandasWithState`` (the
