@@ -1541,12 +1541,29 @@ def q_streaming_kg_triples(spark, sf_dir):
             spark, f"{base}/src", f"{base}/wh", f"{base}/ckpt",
             f"{base}/corpus", max_files_per_trigger=1)
         _CENTROID_CACHE[key] = f"{base}/wh"
-    pipe = Pipeline(spark, JobConfig(
-        warehouse=_CENTROID_CACHE[key], run_id="export"))
+    return _export_canonical_triples(spark, _CENTROID_CACHE[key])
+
+
+def _export_canonical_triples(spark, warehouse):
+    """Warehouse triples with stable entity ids resolved to min-label
+    canonical form: ids survive merges/splits by design (first-assigned,
+    holder-aware), so a history-independent export translates each id to
+    its component's minimum member norm — the label the one-shot DuckDB
+    closure assigns. Translation can only merge whole groups, and the
+    re-aggregation below is exactly the one-shot grouping."""
+    from gondar_spark.config import JobConfig
+    from gondar_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, JobConfig(warehouse=warehouse, run_id="export"))
     triples = pipe.io.read("triples")
     latest = pipe.io.read("entity_ids").groupBy("norm").agg(
         F.max_by("entity_id", "_seq").alias("eid"))
-    resolve = latest.groupBy("eid").agg(F.min("norm").alias("minlab"))
+    # only norms still present in the corpus define the component minima
+    # (retraction keeps dead norms' ledger rows so returning files regain
+    # their ids — they must not drag the export label down)
+    live = pipe.io.read("mentions").select("norm").distinct()
+    resolve = latest.join(live, "norm", "left_semi").groupBy("eid").agg(
+        F.min("norm").alias("minlab"))
     remapped = (
         triples.join(
             F.broadcast(resolve),
@@ -1556,14 +1573,11 @@ def q_streaming_kg_triples(spark, sf_dir):
         .withColumn("obj", F.coalesce("minlab", "obj"))
         .drop("eid", "minlab")
     )
-    # regroup: id translation can only merge whole groups, and the
-    # re-aggregation below is exactly the one-shot grouping
     return (
         remapped.groupBy("subj", "pred", "obj")
         .agg(F.min("kind").alias("kind"),
-             F.min_by(F.struct("repo", "path", "commit", "chunk_id"),
-                      F.struct("repo", "path", "commit", "chunk_id")
-                      ).alias("_p"),
+             F.min(F.struct("repo", "path", "commit", "chunk_id")
+                   ).alias("_p"),
              F.sum("n_provenances").alias("n_provenances"))
         .select("subj", "pred", "obj", "kind",
                 F.col("_p.repo").alias("repo"),
@@ -1572,6 +1586,33 @@ def q_streaming_kg_triples(spark, sf_dir):
                 F.col("_p.chunk_id").alias("chunk_id"),
                 "n_provenances")
     )
+
+
+def q_retract_kg_triples(spark, sf_dir):
+    """Incremental RETRACTION, hash-verified: build the full fixture
+    warehouse, then Pipeline.retract the ~3/16 of files whose
+    md5(path) starts with 0/1/2 — dead norms leave the dictionary and
+    signature store, components split under the holder-aware stable-id
+    rule, and materialize splices only affected groups. The canonical
+    export must hash-equal the one-shot DuckDB chain over ONLY the
+    remaining files (the oracle filters src with the same md5
+    predicate) — takedown leaves no trace and breaks nothing else."""
+    import tempfile
+
+    from gondar_spark.config import JobConfig
+    from gondar_spark.pipeline import Pipeline
+
+    key = ("retract_kg", sf_dir)
+    if key not in _CENTROID_CACHE:
+        wh = tempfile.mkdtemp(prefix="gondar_retract_kg_")
+        src = spark.read.parquet(_KG_FIXTURE)
+        pipe = Pipeline(spark, JobConfig(warehouse=wh, run_id="full"))
+        pipe.run(source_df=src)
+        remaining = src.filter(
+            ~F.substring(F.md5("path"), 1, 1).isin("0", "1", "2"))
+        pipe.retract(source_df=remaining)
+        _CENTROID_CACHE[key] = wh
+    return _export_canonical_triples(spark, _CENTROID_CACHE[key])
 
 
 def q_incremental_kg_triples(spark, sf_dir):
@@ -1607,6 +1648,7 @@ def _registry() -> list[tuple[str, int, Callable]]:
     return [
         # --- round 5 ---------------------------------------------------
         ("streaming_kg_triples", 5, q_streaming_kg_triples),
+        ("retract_kg_triples", 5, q_retract_kg_triples),
         ("kg_canonical_triples", 5, q_kg_canonical_triples),
         ("incremental_kg_triples", 5, q_incremental_kg_triples),
         ("incremental_kg_entities", 5, q_incremental_kg_entities),
@@ -1882,7 +1924,7 @@ FROM reach GROUP BY a""")
 # --- KG oracle SQL: extraction rules + linking chain + recursive-CTE CC,
 #     re-derived in DuckDB over the committed fixture parquet -------------
 
-def _kg_prefix_sql(recursive: bool = False) -> str:
+def _kg_prefix_sql(recursive: bool = False, src_where: str = "") -> str:
     """CTE prefix: fixture scan -> lines -> extracted triples. The rule
     CASE chain is GENERATED from extraction.spec._RULES so the SQL mirror
     cannot drift from the Python extractor; rule priority (anchored rules
@@ -1921,7 +1963,7 @@ def _kg_prefix_sql(recursive: bool = False) -> str:
     return f"""
 {kw} src AS (
     SELECT repo, path, commit, lang, content
-    FROM read_parquet('{_KG_FIXTURE}')
+    FROM read_parquet('{_KG_FIXTURE}') {src_where}
 ), lns AS (
     SELECT repo, path, commit, lang, CAST(i - 1 AS INT) AS ln, ls[i] AS line
     FROM (SELECT repo, path, commit, lang,
@@ -2028,14 +2070,17 @@ GROUP BY c.entity_id"""
 _KG_NORM_OBJ = "regexp_replace(lower(t.obj), '[^a-z0-9]+', '', 'g')"
 
 
-def _kg_canonical_triples_sql() -> str:
+def _kg_canonical_triples_sql(src_where: str = "") -> str:
     """One-shot canonical triple table: closure + canonical obj rewrite
     + per-group dedup with min-provenance. The provenance key joins the
     four fields with chr(1) (below every printable char, and chunk_id
     zero-padded) so lexicographic min over the key equals Spark's
-    field-by-field struct min. Shared by kg_canonical_triples AND
-    incremental_kg_triples — the splice must equal the one-shot build."""
-    return _kg_prefix_sql(recursive=True) + _kg_linking_cte() + _KG_COMP_CTE + f"""
+    field-by-field struct min. Shared by kg_canonical_triples,
+    incremental_kg_triples, streaming_kg_triples, and (with a src
+    filter) retract_kg_triples — splices must equal the one-shot
+    build."""
+    return (_kg_prefix_sql(recursive=True, src_where=src_where)
+            + _kg_linking_cte() + _KG_COMP_CTE) + f"""
 , canon AS (
     SELECT t.subj, t.pred,
            CASE WHEN t.kind IN ('symbol', 'literal')
@@ -2869,6 +2914,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": _kg_entities_sql(),
         "kg_canonical_triples": _kg_canonical_triples_sql(),
         "streaming_kg_triples": _kg_canonical_triples_sql(),
+        "retract_kg_triples": _kg_canonical_triples_sql(
+            src_where="WHERE substring(md5(path), 1, 1) "
+                      "NOT IN ('0', '1', '2')"),
         "incremental_kg_triples": _kg_canonical_triples_sql(),
         "incremental_kg_entities": _kg_entities_full_sql(),
         "ivf_topk": _ivf_topk_sql(),

@@ -34,6 +34,7 @@ def resolve_stable_ids(
     labels: DataFrame,
     prior_map: DataFrame | None = None,
     prior_norms: DataFrame | None = None,
+    all_norms: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """labels(norm, component) -> (assign, merges).
 
@@ -44,13 +45,34 @@ def resolve_stable_ids(
     also a merge of a previously-published entity and must keep/absorb
     its id deliberately, not silently.
 
+    A prior id can be CLAIMED by several components. Under append-only
+    growth that only happens within one component's history (a merge,
+    where every claimed id's own norm sits in the claiming component);
+    after a RETRACTION a component can split, leaving the same prior id
+    claimed by every fragment — and min-of-claims would publish one id
+    for several entities. The winner rule is holder-aware: a prior id
+    goes to the component that CONTAINS the id norm itself; if the id
+    norm survives outside every claimant (it became a singleton, which
+    republishes it as its own id via materialize's coalesce), no
+    component wins it; if the id norm is gone entirely, the claimant
+    with the smallest CC label keeps it (deterministic). Each component
+    then takes the minimum prior id it actually WON, falling back to its
+    CC label (= min member norm — collision-free: every published id is
+    a member norm of its own component, and norm sets are disjoint
+    across components). For append-only ingest this reduces exactly to
+    the old min-of-claims rule. ``all_norms``: the full surviving-norm
+    set, needed to see singleton holders after a retraction; when None,
+    holders are resolved from ``labels`` alone (sufficient for
+    append-only callers).
+
     Returns:
       * assign  — (component, entity_id), one row per component;
-      * merges  — (entity_id, absorbed_id, component): prior ids that
-        stop existing this run, with the id that absorbed them.
+      * merges  — (entity_id, absorbed_id, component): prior ids a
+        component claimed but did not keep — merges under growth,
+        re-assignments under splits (lineage-logged either way).
 
-    Both are small (∝ components / ∝ merges); the groupBy shuffles only
-    (component, prior-id) pairs, never the corpus.
+    All frames are small (∝ components / ∝ claims); the groupBys
+    shuffle only (component, prior-id) pairs, never the corpus.
     """
     j = labels
     if prior_map is not None:
@@ -79,11 +101,46 @@ def resolve_stable_ids(
         .select("component", "_prior")
         .distinct()
     )
+    # where does each claimed id's own norm live now? (component label,
+    # or the sentinel for a surviving singleton, or nowhere)
+    holder = labels.select(
+        F.col("norm").alias("_prior"), F.col("component").alias("_hc"))
+    if all_norms is not None:
+        single_holders = (
+            all_norms.select("norm").distinct()
+            .join(labels.select("norm"), "norm", "left_anti")
+            .select(F.col("norm").alias("_prior"),
+                    F.col("norm").alias("_hc"))
+        )
+        holder = holder.unionByName(single_holders)
+    # restrict the holder lookup to the claimed ids first (broadcast the
+    # small claim set into the dictionary scan), so the left join below
+    # broadcasts a claim-sized frame instead of shuffling the dictionary
+    claimed = prior_pairs.select("_prior").distinct()
+    holder = holder.join(F.broadcast(claimed), "_prior", "left_semi")
+    per_id = (
+        prior_pairs.join(F.broadcast(holder), "_prior", "left")
+        .groupBy("_prior")
+        .agg(
+            F.max(F.when(F.col("component") == F.col("_hc"),
+                         F.col("component"))).alias("_held"),
+            F.min("component").alias("_minc"),
+            F.max("_hc").alias("_hc_any"),
+        )
+        .select(
+            "_prior",
+            F.when(F.col("_held").isNotNull(), F.col("_held"))
+            .when(F.col("_hc_any").isNull(), F.col("_minc"))
+            .alias("_winner"),
+        )
+    )
+    won = per_id.filter(F.col("_winner").isNotNull()).select(
+        F.col("_winner").alias("component"), "_prior")
     assign = (
         labels.select("component")
         .distinct()
         .join(
-            prior_pairs.groupBy("component").agg(F.min("_prior").alias("_m")),
+            won.groupBy("component").agg(F.min("_prior").alias("_m")),
             "component",
             "left",
         )

@@ -146,9 +146,6 @@ def incremental_outputs(
     oracles. Returns (outputs, affected_ids, drop_keys) — the two scope
     frames are localCheckpointed so callers can count them for lineage
     without recomputation."""
-    labels_stable = mapping.select(
-        "norm", F.col("entity_id").alias("component"))
-
     # ---- affected entity ids --------------------------------------------
     changed_norms = changed.select("norm").distinct()
     prior_ids = (
@@ -170,36 +167,13 @@ def incremental_outputs(
         .distinct().localCheckpoint(eager=True)
     )
 
-    # ---- entities + aliases: recompute affected groups ------------------
-    members = mapping.join(
-        F.broadcast(affected_ids), "entity_id", "left_semi"
-    ).localCheckpoint(eager=True)
-    labels_aff = members.select(
-        "norm", F.col("entity_id").alias("component"))
-    aff_mentions = mentions.join(
-        F.broadcast(members.select("norm")), "norm", "left_semi")
-    ents_new, aliases_new = entity_tables(aff_mentions, labels_aff)
-    tr_linkable_aff = (
-        triples_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
-        .withColumn("_n", norm_col("obj"))
-        .join(F.broadcast(members.select(F.col("norm").alias("_n"))),
-              "_n", "left_semi").drop("_n")
-    )
-    n_m = entity_mention_counts(tr_linkable_aff, labels_aff)
-    entities_aff = ents_new.join(n_m, "entity_id", "left").withColumn(
-        "n_mentions", F.coalesce("n_mentions", F.lit(0)))
-    entities_out = (
-        old_entities
-        .join(F.broadcast(affected_ids), "entity_id", "left_anti")
-        .unionByName(entities_aff)
-    )
-    aliases_out = (
-        old_aliases
-        .join(F.broadcast(affected_ids), "entity_id", "left_anti")
-        .unionByName(aliases_new)
-    )
+    entities_out, aliases_out = _splice_entities(
+        old_entities, old_aliases, mentions, triples_raw, mapping,
+        affected_ids)
 
     # ---- triples: affected group keys -----------------------------------
+    labels_stable = mapping.select(
+        "norm", F.col("entity_id").alias("component"))
     keys_a = (
         canonical_triples(new_raw, labels_stable)
         .select("subj", "pred", "obj").distinct()
@@ -228,7 +202,73 @@ def incremental_outputs(
         .distinct().localCheckpoint(eager=True)
     )
 
-    # ---- triples: candidate slice + exact re-aggregation ----------------
+    triples_out = _splice_triples(
+        old_triples, triples_raw, mapping, drop_keys)
+    outputs = {
+        "triples": triples_out,
+        "entities": entities_out,
+        "aliases": aliases_out,
+    }
+    return outputs, affected_ids, drop_keys
+
+
+def _splice_entities(
+    old_entities: DataFrame,
+    old_aliases: DataFrame,
+    mentions: DataFrame,
+    triples_raw: DataFrame,
+    mapping: DataFrame,
+    affected_ids: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Recompute the entity/alias groups of ``affected_ids`` from the
+    current mention/raw-triple state (column-pruned scans with broadcast
+    semi-joins) and splice them into the prior snapshots. An affected id
+    with no surviving members simply vanishes (dropped, nothing
+    recomputed)."""
+    members = mapping.join(
+        F.broadcast(affected_ids), "entity_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    labels_aff = members.select(
+        "norm", F.col("entity_id").alias("component"))
+    aff_mentions = mentions.join(
+        F.broadcast(members.select("norm")), "norm", "left_semi")
+    ents_new, aliases_new = entity_tables(aff_mentions, labels_aff)
+    tr_linkable_aff = (
+        triples_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
+        .withColumn("_n", norm_col("obj"))
+        .join(F.broadcast(members.select(F.col("norm").alias("_n"))),
+              "_n", "left_semi").drop("_n")
+    )
+    n_m = entity_mention_counts(tr_linkable_aff, labels_aff)
+    entities_aff = ents_new.join(n_m, "entity_id", "left").withColumn(
+        "n_mentions", F.coalesce("n_mentions", F.lit(0)))
+    entities_out = (
+        old_entities
+        .join(F.broadcast(affected_ids), "entity_id", "left_anti")
+        .unionByName(entities_aff)
+    )
+    aliases_out = (
+        old_aliases
+        .join(F.broadcast(affected_ids), "entity_id", "left_anti")
+        .unionByName(aliases_new)
+    )
+    return entities_out, aliases_out
+
+
+def _splice_triples(
+    old_triples: DataFrame,
+    triples_raw: DataFrame,
+    mapping: DataFrame,
+    drop_keys: DataFrame,
+) -> DataFrame:
+    """Re-aggregate exactly the ``drop_keys`` canonical groups from a
+    candidate slice of ``triples_raw`` (rows that could contribute to an
+    affected group: non-linkable rows whose obj is an affected key's
+    obj, linkable rows whose norm is the key's obj or maps to it) and
+    splice them into the prior snapshot. A dropped group with no
+    surviving contributor rows vanishes."""
+    labels_stable = mapping.select(
+        "norm", F.col("entity_id").alias("component"))
     xs = drop_keys.select("obj").distinct()
     member_norms_x = (
         mapping.join(F.broadcast(xs),
@@ -251,11 +291,98 @@ def incremental_outputs(
         .join(F.broadcast(drop_keys), ["subj", "pred", "obj"],
               "left_semi")
     )
-    triples_out = (
+    return (
         old_triples.join(F.broadcast(drop_keys),
                          ["subj", "pred", "obj"], "left_anti")
         .unionByName(recomputed)
     )
+
+
+def retraction_outputs(
+    old_triples: DataFrame,
+    old_entities: DataFrame,
+    old_aliases: DataFrame,
+    mentions: DataFrame,
+    remaining_raw: DataFrame,
+    removed_raw: DataFrame,
+    mapping: DataFrame,
+    prior_map: DataFrame,
+) -> tuple[dict[str, DataFrame], DataFrame, DataFrame]:
+    """Retraction analog of ``incremental_outputs``: recompute only the
+    output groups a file REMOVAL touches. Inputs are the prior outputs,
+    the post-retraction mention table and raw-triple stream, the removed
+    files' raw triples, the post-retraction norm -> entity_id
+    ``mapping`` (splits already resolved by the holder-aware stable-id
+    rule), and the pre-retraction ``prior_map`` (the entity_ids ledger —
+    covers every norm ever materialized, including now-dead ones).
+
+    Scope:
+      * affected OLD ids = prior ids of the removed rows' norms (their
+        n_mentions/provenance shrink or they vanish) + prior ids of
+        norms whose mapping moved (splits);
+      * affected NEW ids = current ids of those same norms (where they
+        survive);
+      * affected triple groups = the removed rows' canonical groups
+        under the PRIOR mapping + groups whose obj is an affected old id
+        + those groups re-keyed to each moved norm's new id.
+    Exact-equal to a full rebuild over the remaining corpus with the
+    same ledger — pinned by tests/test_retraction.py and the
+    ``retract_kg_triples`` oracle."""
+    affected_norms = (
+        removed_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
+        .select(norm_col("obj").alias("norm"))
+        .filter(F.length("norm") > 0).distinct()
+    )
+    moved = (
+        prior_map.join(mapping.withColumnsRenamed(
+            {"entity_id": "new_id"}), "norm")
+        .filter(F.col("entity_id") != F.col("new_id"))
+        .localCheckpoint(eager=True)
+    )
+    old_ids = (
+        prior_map.join(F.broadcast(affected_norms), "norm", "left_semi")
+        .select("entity_id")
+        .union(moved.select("entity_id"))
+        .distinct().localCheckpoint(eager=True)
+    )
+    new_ids = (
+        mapping.join(F.broadcast(affected_norms), "norm", "left_semi")
+        .select("entity_id")
+        .union(moved.select(F.col("new_id").alias("entity_id")))
+        .distinct()
+    )
+    affected_ids = (
+        old_ids.union(new_ids).distinct().localCheckpoint(eager=True)
+    )
+
+    entities_out, aliases_out = _splice_entities(
+        old_entities, old_aliases, mentions, remaining_raw, mapping,
+        affected_ids)
+
+    prior_stable = prior_map.select(
+        "norm", F.col("entity_id").alias("component"))
+    keys_a = (
+        canonical_triples(removed_raw, prior_stable)
+        .select("subj", "pred", "obj").distinct()
+    )
+    keys_b_old = (
+        old_triples.join(F.broadcast(old_ids),
+                         old_triples.obj == old_ids.entity_id,
+                         "left_semi")
+        .select("subj", "pred", "obj").distinct()
+    )
+    old_to_new = moved.select(
+        F.col("entity_id").alias("obj"), "new_id").distinct()
+    keys_b_new = (
+        keys_b_old.join(F.broadcast(old_to_new), "obj")
+        .select("subj", "pred", F.col("new_id").alias("obj")).distinct()
+    )
+    drop_keys = (
+        keys_a.union(keys_b_old).union(keys_b_new)
+        .distinct().localCheckpoint(eager=True)
+    )
+    triples_out = _splice_triples(
+        old_triples, remaining_raw, mapping, drop_keys)
     outputs = {
         "triples": triples_out,
         "entities": entities_out,

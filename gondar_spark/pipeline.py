@@ -448,7 +448,12 @@ class Pipeline:
             return False
         has_ledger = self.io.exists("entity_ids")
         prior_map = self._read_entity_ledger() if has_ledger else None
-        assign, merges = identity.resolve_stable_ids(labels, prior_map)
+        # all_norms lets the holder-aware rule see SINGLETON holders —
+        # after a retraction, a component fragment must not claim an id
+        # whose norm survives unlinked (it republishes itself)
+        assign, merges = identity.resolve_stable_ids(
+            labels, prior_map,
+            all_norms=mentions.select("norm").distinct())
         # the full norm -> stable-id mapping: linked norms through their
         # component's assignment, singletons as themselves (components
         # never shrink under append-only growth, so a singleton's id is
@@ -566,6 +571,201 @@ class Pipeline:
                   affected_triple_groups=drop_keys.count(),
                   rows=rows, wall_s=round(time.time() - t0, 3))
         return True
+
+    # ---- incremental retraction (O(affected) takedown) ----------------------
+
+    def retract(self, source_df: DataFrame | None = None,
+                source_path: str | None = None) -> dict:
+        """Incremental RETRACTION — the deletion analog of the O(new)
+        ingest path: files present in the ledgers but ABSENT from the
+        given corpus are removed from every table at O(affected) shuffle
+        cost, instead of a full force-rebuild (run(prune_removed=True)
+        only prunes ledgers; the data tables kept stale rows until the
+        next force run). The 100 TB motivation is takedown/right-to-be-
+        forgotten: a daily handful of removals must not re-link the
+        corpus.
+
+        Scope: removed files' raw triples -> affected norms; a norm with
+        no surviving mention DIES (leaves the mention dictionary and the
+        signature/band store, so future probes cannot link to ghosts);
+        edges with a dead endpoint die; CC re-runs only on the
+        components that contained a dead norm (they can SPLIT — the
+        holder-aware stable-id rule in identity.resolve_stable_ids keeps
+        published ids collision-free: the fragment holding the id norm
+        keeps it, others get their CC label); materialize splices only
+        the affected output groups (materialize.retraction_outputs).
+
+        CRASH-SAFE by idempotent replay: every derived table is a pure
+        function of (old triples_raw, removed keys), data tables are
+        rewritten before triples_raw, and the ledgers are pruned LAST —
+        a replay after any crash point recomputes identical content (a
+        post-triples_raw replay sees empty scopes and only re-commits
+        already-correct tables). Dead norms keep their ledger rows (no
+        tombstones): if a file returns, its norms get their old ids
+        back.
+
+        Cap-freeze note: removal never re-opens a mega-block — a band
+        that crossed the cap stays frozen even if removals shrink it
+        (consistent with ingest/streaming cap semantics).
+
+        Returns {"removed_files": n, "dead_norms": n, ...} (also logged
+        to lineage)."""
+        io = self.io
+        cfg = self.cfg
+        keys = self._LINK_KEYS
+        t0 = time.time()
+        if source_df is None:
+            if source_path is None:
+                raise ValueError("retract() needs source_df or source_path")
+            source_df = self.spark.read.parquet(source_path)
+        src_keys = source_df.select(*keys).distinct()
+        removed = (
+            self.io.read("extract_done").distinct()
+            .join(src_keys, keys, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_removed = removed.count()
+        if n_removed == 0:
+            self._log("retract", skipped=True)
+            return {"removed_files": 0}
+
+        triples_raw_all = io.read("triples_raw")
+        removed_raw = triples_raw_all.join(
+            F.broadcast(removed), keys, "left_semi"
+        ).localCheckpoint(eager=True)
+        remaining_raw = triples_raw_all.join(
+            F.broadcast(removed), keys, "left_anti")
+
+        # ---- mentions: recompute the affected norms' rows ----------------
+        affected_norms = (
+            removed_raw.filter(F.col("kind").isin(*normalize.LINKABLE_KINDS))
+            .select(normalize.norm_col("obj").alias("norm"))
+            .filter(F.length("norm") > 0).distinct()
+            .localCheckpoint(eager=True)
+        )
+        remaining_slice = (
+            remaining_raw.filter(F.col("kind").isin(*normalize.LINKABLE_KINDS))
+            .withColumn("_n", normalize.norm_col("obj"))
+            .join(F.broadcast(affected_norms.withColumnRenamed(
+                "norm", "_n")), "_n", "left_semi").drop("_n")
+        )
+        recomputed_m = normalize.normalize_mentions(remaining_slice)
+        mentions_out = (
+            io.read("mentions")
+            .join(F.broadcast(affected_norms), "norm", "left_anti")
+            .unionByName(recomputed_m)
+        )
+        dead = (
+            affected_norms
+            .join(recomputed_m.select("norm").distinct(), "norm",
+                  "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_dead = dead.count()
+
+        # ---- edges + labels: dead endpoints; re-CC touched components ----
+        old_labels = io.read("labels")
+        edges_out = (
+            io.read("edges")
+            .join(F.broadcast(dead.withColumnRenamed("norm", "norm_a")),
+                  "norm_a", "left_anti")
+            .join(F.broadcast(dead.withColumnRenamed("norm", "norm_b")),
+                  "norm_b", "left_anti")
+        )
+        touched = (
+            old_labels.join(F.broadcast(dead), "norm", "left_semi")
+            .select("component").distinct().localCheckpoint(eager=True)
+        )
+        n_touched = touched.count()
+        sub = (
+            edges_out.join(
+                old_labels.select(F.col("norm").alias("norm_a"),
+                                  "component"), "norm_a")
+            .join(F.broadcast(touched), "component", "left_semi")
+            .select("norm_a", "norm_b")
+        )
+        relabeled = cc.connected_components(sub, cfg.cc_max_iter)
+        labels_out = (
+            old_labels.join(F.broadcast(touched), "component", "left_anti")
+            .unionByName(relabeled)
+            .localCheckpoint(eager=True)
+        )
+
+        meta = {"stage": "retract", "run_id": cfg.run_id}
+        io.compact("mentions", mentions_out, meta=meta)
+        io.compact("link_signatures",
+                   io.read("link_signatures").join(
+                       F.broadcast(dead), "norm", "left_anti"),
+                   meta=meta)
+        io.compact("edges", edges_out, meta=meta)
+        io.write(labels_out, "labels", meta={
+            **meta, "edge_segments": io.segments("edges")})
+
+        # ---- stable ids over the post-retraction graph -------------------
+        mentions_new = io.read("mentions")
+        prior_map = self._read_entity_ledger()
+        assign, reassigned = identity.resolve_stable_ids(
+            labels_out, prior_map,
+            all_norms=mentions_new.select("norm").distinct())
+        linked = labels_out.join(assign, "component").select(
+            "norm", "entity_id")
+        singles = (
+            mentions_new.select("norm").distinct()
+            .join(labels_out.select("norm").distinct(), "norm", "left_anti")
+            .withColumn("entity_id", F.col("norm"))
+        )
+        mapping = linked.unionByName(singles).localCheckpoint(eager=True)
+        changed = mapping.join(prior_map, ["norm", "entity_id"],
+                               "left_anti").localCheckpoint(eager=True)
+        n_changed = changed.count()
+
+        # ---- materialize: splice only affected output groups -------------
+        outputs, affected_ids, drop_keys = materialize.retraction_outputs(
+            io.read("triples"), io.read("entities"), io.read("aliases"),
+            mentions_new, remaining_raw, removed_raw, mapping, prior_map)
+        for tbl, pb in (("triples", ["pred"]), ("entities", None),
+                        ("aliases", ["lang"])):
+            io.write(outputs[tbl], tbl, partition_by=pb, meta=meta)
+        if n_changed:
+            seq = io.read("entity_ids").agg(
+                F.max("_seq")).collect()[0][0] or 0
+            io.append(changed.withColumn("_seq", F.lit(seq + 1)),
+                      "entity_ids", meta=meta)
+        reassign_rows = [
+            {"entity_id": r["entity_id"], "absorbed_id": r["absorbed_id"]}
+            for r in reassigned.limit(100).collect()
+        ]
+
+        # ---- prune the raw stream + per-file tables + ledgers LAST -------
+        if io.exists("quarantine"):
+            io.compact("quarantine",
+                       io.read("quarantine").join(
+                           F.broadcast(removed), keys, "left_anti"),
+                       meta=meta)
+        if io.exists("source_repos"):
+            io.write(io.read("source_repos").join(
+                F.broadcast(removed), keys, "left_anti"),
+                "source_repos", meta=meta)
+        self._run_stage("triples_raw", {"triples_raw": remaining_raw},
+                        force=True)
+        for ledger in ("extract_done", "link_done", "mat_done"):
+            if io.exists(ledger):
+                io.compact(ledger,
+                           io.read(ledger).distinct().join(
+                               F.broadcast(removed), keys, "left_anti"),
+                           meta=meta)
+        stats = {
+            "removed_files": n_removed,
+            "dead_norms": n_dead,
+            "touched_components": n_touched,
+            "changed_mappings": n_changed,
+            "affected_entities": affected_ids.count(),
+            "affected_triple_groups": drop_keys.count(),
+        }
+        self._log("retract", skipped=False, **stats,
+                  id_reassignments=reassign_rows,
+                  wall_s=round(time.time() - t0, 3))
+        return stats
 
     # ---- incremental linking (O(new) ingest) --------------------------------
     _LINK_TABLES = ("mentions", "edges", "labels", "link_signatures")

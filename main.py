@@ -42,6 +42,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="with --incremental: drop ledger/hash rows for "
                         "files the registered corpus no longer contains "
                         "(default assumes an append-only corpus)")
+    p.add_argument("--retract", action="store_true",
+                   help="incremental retraction (takedown): remove files "
+                        "present in the warehouse ledgers but ABSENT from "
+                        "the given corpus from every table at O(affected) "
+                        "cost (dead norms leave the dictionary and "
+                        "signature store; components split id-stably; "
+                        "materialize splices affected groups only)")
     p.add_argument("--clean-corpus", default=None, metavar="PARQUET",
                    help="run the corpus-cleaning chain (quality gate -> "
                         "exact dedup -> LSH+CC near-dup removal) over a "
@@ -125,6 +132,15 @@ def main(argv: list[str] | None = None) -> int:
             SynthConfig(n_files=args.synthetic, seed=args.seed),
             partitions=args.shuffle_partitions * 4,
         )
+    if args.retract:
+        stats = pipe.retract(source_df=source_df,
+                             source_path=args.source_path)
+        print(json.dumps({"retract": stats, "tables": {
+            t: (pipe.io.commit_meta(t) or {}).get("rows")
+            for t in ("triples", "entities", "aliases")
+            if pipe.io.exists(t)
+        }}))
+        return 0
     executed = pipe.run(source_df=source_df, force=args.force,
                         incremental=args.incremental,
                         source_path=args.source_path,
