@@ -113,6 +113,16 @@ def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
                    if r.get("run_id") == "ingest"
                    and r["stage"] == "labels_incremental"]
 
+        # retraction: take the ingest batch back out — wall must track
+        # the batch (dead norms + touched components), not the corpus
+        remaining = spark.read.parquet(corpus).filter(
+            ~F.col("path").startswith("src/newfam")
+            & ~F.col("path").startswith("src/probe"))
+        pipe.cfg = JobConfig(warehouse=wh, run_id="retract")
+        t0 = time.time()
+        rstats = pipe.retract(source_df=remaining)
+        retract_wall = round(time.time() - t0, 3)
+
         # the avoided cost: full relink of the grown corpus
         pipe.cfg = JobConfig(warehouse=wh, run_id="relink")
         t0 = time.time()
@@ -135,6 +145,8 @@ def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
             "ingest_run_wall_s": ingest_wall,
             "link_wall_s": link_wall,
             "materialize_wall_s": mat_wall,
+            "retract_wall_s": retract_wall,
+            "retract_dead_norms": rstats["dead_norms"],
             "full_relink_link_wall_s": full_link_wall,
             "full_relink_materialize_wall_s": full_mat_wall,
             "full_relink_run_wall_s": full_wall,
@@ -166,6 +178,9 @@ def main() -> None:
             "materialize_wall_ratio_10x": round(
                 big["materialize_wall_s"] / small["materialize_wall_s"], 2)
             if small["materialize_wall_s"] else None,
+            "retract_wall_ratio_10x": round(
+                big["retract_wall_s"] / small["retract_wall_s"], 2)
+            if small["retract_wall_s"] else None,
             "incremental_vs_full_relink_speedup_10x": round(
                 big["full_relink_link_wall_s"] / big["link_wall_s"], 2)
             if big["link_wall_s"] else None,
