@@ -1484,8 +1484,13 @@ def _kg_incremental_outputs(spark):
     (materialize.incremental_outputs). The result must equal a
     one-shot build over the union, which is exactly what the DuckDB
     oracles compute — so the O(new) ingest contract is hash-verified
-    end-to-end, not just pytest-pinned."""
+    end-to-end, not just pytest-pinned. The outputs are cached: the
+    splice ends in localCheckpointed scope frames, so the triples and
+    entities queries share one build."""
     from gondar_spark.operators import cc, materialize
+
+    if "kg_incremental" in _CENTROID_CACHE:
+        return _CENTROID_CACHE["kg_incremental"]
 
     triples = _mini_kg_triples(spark).persist()
     is_new = (F.xxhash64("path") % 3) == 0
@@ -1507,6 +1512,8 @@ def _kg_incremental_outputs(spark):
     outputs, _ids, _keys = materialize.incremental_outputs(
         old_out["triples"], old_out["entities"], old_out["aliases"],
         m_all, triples, new_raw, mapping, map_old, changed)
+    outputs = {k: v.localCheckpoint(eager=False) for k, v in outputs.items()}
+    _CENTROID_CACHE["kg_incremental"] = outputs
     return outputs
 
 

@@ -20,6 +20,16 @@ from pyspark.sql import functions as F
 from .normalize import LINKABLE_KINDS, norm_col
 
 
+
+def _ckpt(df: DataFrame, ckpts: list | None) -> DataFrame:
+    """Eager localCheckpoint; registered in ``ckpts`` when the caller
+    (the pipeline) wants to free the blocks at end of run — long-lived
+    sessions must not accumulate checkpoint storage."""
+    df = df.localCheckpoint(eager=True)
+    if ckpts is not None:
+        ckpts.append(df)
+    return df
+
 def entity_tables(
     mentions: DataFrame, labels: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -123,6 +133,7 @@ def incremental_outputs(
     mapping: DataFrame,
     prior_map: DataFrame,
     changed: DataFrame,
+    ckpts: list | None = None,
 ) -> tuple[dict[str, DataFrame], DataFrame, DataFrame]:
     """Affected-group splice: recompute ONLY the output groups an ingest
     touches and splice them into the prior snapshot — the O(new) analog
@@ -162,14 +173,12 @@ def incremental_outputs(
         mapping.join(F.broadcast(pending_norms), "norm", "left_semi")
         .select("entity_id").distinct()
     )
-    affected_ids = (
-        prior_ids.union(new_ids).union(pending_ids)
-        .distinct().localCheckpoint(eager=True)
-    )
+    affected_ids = _ckpt(
+        prior_ids.union(new_ids).union(pending_ids).distinct(), ckpts)
 
     entities_out, aliases_out = _splice_entities(
         old_entities, old_aliases, mentions, triples_raw, mapping,
-        affected_ids)
+        affected_ids, ckpts)
 
     # ---- triples: affected group keys -----------------------------------
     labels_stable = mapping.select(
@@ -197,10 +206,8 @@ def incremental_outputs(
         keys_b_old.join(F.broadcast(absorbed_to_new), "obj")
         .select("subj", "pred", F.col("new_id").alias("obj")).distinct()
     )
-    drop_keys = (
-        keys_a.union(keys_b_old).union(keys_b_new)
-        .distinct().localCheckpoint(eager=True)
-    )
+    drop_keys = _ckpt(
+        keys_a.union(keys_b_old).union(keys_b_new).distinct(), ckpts)
 
     triples_out = _splice_triples(
         old_triples, triples_raw, mapping, drop_keys)
@@ -219,15 +226,15 @@ def _splice_entities(
     triples_raw: DataFrame,
     mapping: DataFrame,
     affected_ids: DataFrame,
+    ckpts: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Recompute the entity/alias groups of ``affected_ids`` from the
     current mention/raw-triple state (column-pruned scans with broadcast
     semi-joins) and splice them into the prior snapshots. An affected id
     with no surviving members simply vanishes (dropped, nothing
     recomputed)."""
-    members = mapping.join(
-        F.broadcast(affected_ids), "entity_id", "left_semi"
-    ).localCheckpoint(eager=True)
+    members = _ckpt(mapping.join(
+        F.broadcast(affected_ids), "entity_id", "left_semi"), ckpts)
     labels_aff = members.select(
         "norm", F.col("entity_id").alias("component"))
     aff_mentions = mentions.join(
@@ -307,6 +314,7 @@ def retraction_outputs(
     removed_raw: DataFrame,
     mapping: DataFrame,
     prior_map: DataFrame,
+    ckpts: list | None = None,
 ) -> tuple[dict[str, DataFrame], DataFrame, DataFrame]:
     """Retraction analog of ``incremental_outputs``: recompute only the
     output groups a file REMOVAL touches. Inputs are the prior outputs,
@@ -333,31 +341,26 @@ def retraction_outputs(
         .select(norm_col("obj").alias("norm"))
         .filter(F.length("norm") > 0).distinct()
     )
-    moved = (
+    moved = _ckpt(
         prior_map.join(mapping.withColumnsRenamed(
             {"entity_id": "new_id"}), "norm")
-        .filter(F.col("entity_id") != F.col("new_id"))
-        .localCheckpoint(eager=True)
-    )
-    old_ids = (
+        .filter(F.col("entity_id") != F.col("new_id")), ckpts)
+    old_ids = _ckpt(
         prior_map.join(F.broadcast(affected_norms), "norm", "left_semi")
         .select("entity_id")
         .union(moved.select("entity_id"))
-        .distinct().localCheckpoint(eager=True)
-    )
+        .distinct(), ckpts)
     new_ids = (
         mapping.join(F.broadcast(affected_norms), "norm", "left_semi")
         .select("entity_id")
         .union(moved.select(F.col("new_id").alias("entity_id")))
         .distinct()
     )
-    affected_ids = (
-        old_ids.union(new_ids).distinct().localCheckpoint(eager=True)
-    )
+    affected_ids = _ckpt(old_ids.union(new_ids).distinct(), ckpts)
 
     entities_out, aliases_out = _splice_entities(
         old_entities, old_aliases, mentions, remaining_raw, mapping,
-        affected_ids)
+        affected_ids, ckpts)
 
     prior_stable = prior_map.select(
         "norm", F.col("entity_id").alias("component"))
@@ -377,10 +380,8 @@ def retraction_outputs(
         keys_b_old.join(F.broadcast(old_to_new), "obj")
         .select("subj", "pred", F.col("new_id").alias("obj")).distinct()
     )
-    drop_keys = (
-        keys_a.union(keys_b_old).union(keys_b_new)
-        .distinct().localCheckpoint(eager=True)
-    )
+    drop_keys = _ckpt(
+        keys_a.union(keys_b_old).union(keys_b_new).distinct(), ckpts)
     triples_out = _splice_triples(
         old_triples, remaining_raw, mapping, drop_keys)
     outputs = {

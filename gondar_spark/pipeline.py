@@ -46,6 +46,26 @@ class Pipeline:
         self.extractor = extractor
         self.batch_extractor = batch_extractor
         self._lineage_path = os.path.join(cfg.warehouse, "_lineage")
+        self._ckpts: list[DataFrame] = []
+
+    # ---- checkpoint tracking ---------------------------------------------
+    def _ck(self, df: DataFrame) -> DataFrame:
+        """Eager localCheckpoint, registered for release at end of
+        run()/retract(): checkpoint blocks live in executor storage, and
+        a long-lived session (streaming foreachBatch, a bench campaign,
+        a notebook) that never frees them accumulates until the heap
+        gives out — measured at the 500k-family bench scale."""
+        df = df.localCheckpoint(eager=True)
+        self._ckpts.append(df)
+        return df
+
+    def _free_ckpts(self) -> None:
+        for df in self._ckpts:
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped, block gone, ...
+                pass
+        self._ckpts.clear()
 
     # ---- lineage ----------------------------------------------------------
     def _log(self, stage: str, **fields) -> None:
@@ -105,6 +125,18 @@ class Pipeline:
             incremental: bool = False,
             source_path: str | None = None,
             prune_removed: bool = False) -> dict:
+        try:
+            return self._run(source_df=source_df, force=force,
+                             incremental=incremental,
+                             source_path=source_path,
+                             prune_removed=prune_removed)
+        finally:
+            self._free_ckpts()
+
+    def _run(self, source_df: DataFrame | None = None, force: bool = False,
+             incremental: bool = False,
+             source_path: str | None = None,
+             prune_removed: bool = False) -> dict:
         """Run all stages with resume. ``incremental=True`` additionally
         enables file-level resume of the extraction stage: files already
         recorded in the committed ``extract_done`` ledger are skipped via
@@ -162,7 +194,7 @@ class Pipeline:
                         ["repo", "path", "commit"], "left_anti",
                     )
                 ).select("repo", "path", "commit", "content_sha256"
-                         ).localCheckpoint(eager=True)
+                         ).transform(self._ck)
                 if new_hashes.count() > 0 or prune_removed:
                     executed["source"] = self._run_stage(
                         "source",
@@ -229,7 +261,7 @@ class Pipeline:
             todo_keys = (
                 src.select("repo", "path", "commit").distinct()
                 .join(done, ["repo", "path", "commit"], "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(self._ck)
             )
             n_todo = todo_keys.count()
             if n_todo == 0:
@@ -256,11 +288,11 @@ class Pipeline:
                 # change what the anti-join sees mid-write. The persisted
                 # raw means extraction runs ONCE across the three
                 # checkpoints; released as soon as they exist.
-                new_triples = new_triples.localCheckpoint(eager=True)
-                new_quarantine = new_quarantine.localCheckpoint(eager=True)
+                new_triples = new_triples.transform(self._ck)
+                new_quarantine = new_quarantine.transform(self._ck)
                 new_metrics = new_metrics.select(
                     F.col("obj").alias("metric"), "chunk_id"
-                ).localCheckpoint(eager=True)
+                ).transform(self._ck)
                 raw.unpersist()
                 n_new = new_triples.count()
                 n_quar = new_quarantine.count()
@@ -465,13 +497,13 @@ class Pipeline:
             .join(labels.select("norm").distinct(), "norm", "left_anti")
             .withColumn("entity_id", F.col("norm"))
         )
-        mapping = linked.unionByName(singles).localCheckpoint(eager=True)
+        mapping = linked.unionByName(singles).transform(self._ck)
         changed = None
         if has_ledger:
             # norms whose mapping is new or moved (O(changed); feeds the
             # ledger append AND the incremental-output scope)
             changed = mapping.join(prior_map, ["norm", "entity_id"],
-                                   "left_anti").localCheckpoint(eager=True)
+                                   "left_anti").transform(self._ck)
 
         can_inc = (
             allow_incremental and has_ledger
@@ -540,7 +572,7 @@ class Pipeline:
         keys = self._LINK_KEYS
         done = io.read("extract_done").distinct()
         pending = done.join(io.read("mat_done"), keys, "left_anti"
-                            ).localCheckpoint(eager=True)
+                            ).transform(self._ck)
         n_pending = pending.count()
         n_changed = changed.count()
         if n_pending == 0 and n_changed == 0:
@@ -550,7 +582,8 @@ class Pipeline:
 
         outputs, affected_ids, drop_keys = materialize.incremental_outputs(
             io.read("triples"), io.read("entities"), io.read("aliases"),
-            mentions, triples_raw, new_raw, mapping, prior_map, changed)
+            mentions, triples_raw, new_raw, mapping, prior_map, changed,
+            ckpts=self._ckpts)
 
         rows = {}
         for tbl, pb in (("triples", ["pred"]), ("entities", None),
@@ -576,6 +609,14 @@ class Pipeline:
 
     def retract(self, source_df: DataFrame | None = None,
                 source_path: str | None = None) -> dict:
+        try:
+            return self._retract(source_df=source_df,
+                                 source_path=source_path)
+        finally:
+            self._free_ckpts()
+
+    def _retract(self, source_df: DataFrame | None = None,
+                 source_path: str | None = None) -> dict:
         """Incremental RETRACTION — the deletion analog of the O(new)
         ingest path: files present in the ledgers but ABSENT from the
         given corpus are removed from every table at O(affected) shuffle
@@ -622,7 +663,7 @@ class Pipeline:
         removed = (
             self.io.read("extract_done").distinct()
             .join(src_keys, keys, "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(self._ck)
         )
         n_removed = removed.count()
         if n_removed == 0:
@@ -632,7 +673,7 @@ class Pipeline:
         triples_raw_all = io.read("triples_raw")
         removed_raw = triples_raw_all.join(
             F.broadcast(removed), keys, "left_semi"
-        ).localCheckpoint(eager=True)
+        ).transform(self._ck)
         remaining_raw = triples_raw_all.join(
             F.broadcast(removed), keys, "left_anti")
 
@@ -641,7 +682,7 @@ class Pipeline:
             removed_raw.filter(F.col("kind").isin(*normalize.LINKABLE_KINDS))
             .select(normalize.norm_col("obj").alias("norm"))
             .filter(F.length("norm") > 0).distinct()
-            .localCheckpoint(eager=True)
+            .transform(self._ck)
         )
         remaining_slice = (
             remaining_raw.filter(F.col("kind").isin(*normalize.LINKABLE_KINDS))
@@ -659,7 +700,7 @@ class Pipeline:
             affected_norms
             .join(recomputed_m.select("norm").distinct(), "norm",
                   "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(self._ck)
         )
         n_dead = dead.count()
 
@@ -674,7 +715,7 @@ class Pipeline:
         )
         touched = (
             old_labels.join(F.broadcast(dead), "norm", "left_semi")
-            .select("component").distinct().localCheckpoint(eager=True)
+            .select("component").distinct().transform(self._ck)
         )
         n_touched = touched.count()
         sub = (
@@ -688,7 +729,7 @@ class Pipeline:
         labels_out = (
             old_labels.join(F.broadcast(touched), "component", "left_anti")
             .unionByName(relabeled)
-            .localCheckpoint(eager=True)
+            .transform(self._ck)
         )
 
         meta = {"stage": "retract", "run_id": cfg.run_id}
@@ -714,15 +755,16 @@ class Pipeline:
             .join(labels_out.select("norm").distinct(), "norm", "left_anti")
             .withColumn("entity_id", F.col("norm"))
         )
-        mapping = linked.unionByName(singles).localCheckpoint(eager=True)
+        mapping = linked.unionByName(singles).transform(self._ck)
         changed = mapping.join(prior_map, ["norm", "entity_id"],
-                               "left_anti").localCheckpoint(eager=True)
+                               "left_anti").transform(self._ck)
         n_changed = changed.count()
 
         # ---- materialize: splice only affected output groups -------------
         outputs, affected_ids, drop_keys = materialize.retraction_outputs(
             io.read("triples"), io.read("entities"), io.read("aliases"),
-            mentions_new, remaining_raw, removed_raw, mapping, prior_map)
+            mentions_new, remaining_raw, removed_raw, mapping, prior_map,
+            ckpts=self._ckpts)
         for tbl, pb in (("triples", ["pred"]), ("entities", None),
                         ("aliases", ["lang"])):
             io.write(outputs[tbl], tbl, partition_by=pb, meta=meta)
@@ -830,7 +872,7 @@ class Pipeline:
             pending = done.join(linked, keys, "left_anti")
         else:
             pending = done
-        pending = pending.localCheckpoint(eager=True)
+        pending = pending.transform(self._ck)
         n_pending = pending.count()
         unreflected = self._unreflected_edge_segments()
         if n_pending == 0 and not unreflected:
@@ -851,7 +893,7 @@ class Pipeline:
             F.broadcast(new_m), ["surface", "lang", "norm"], "left_semi")
         new_rows = new_m.join(
             F.broadcast(overlap), ["surface", "lang", "norm"], "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(self._ck)
         n_new_mentions = new_rows.count()
         self._log("mentions", skipped=False, incremental=True,
                   new_rows=n_new_mentions, pending_files=n_pending,
@@ -868,7 +910,7 @@ class Pipeline:
             F.broadcast(norm_overlap), "norm", "left_anti")
         new_sig = blocking.minhash_signature_df(
             new_norm_rows, cfg.minhash_hashes, cfg.extractor_seed,
-            cfg.shingle_size).localCheckpoint(eager=True)
+            cfg.shingle_size).transform(self._ck)
         n_new_norms = new_sig.count()
         new_blocks = blocking.band_keys_df(
             new_sig, cfg.minhash_hashes, cfg.lsh_bands)
@@ -881,7 +923,7 @@ class Pipeline:
             touched_store.select("band_key")
             .union(new_blocks.select("band_key"))
             .groupBy("band_key").agg(F.count("*").alias("_bs"))
-            .localCheckpoint(eager=True)
+            .transform(self._ck)
         )
         n_refused = combined.filter(
             F.col("_bs") > cfg.max_block_size).count()
@@ -914,7 +956,7 @@ class Pipeline:
         new_edges = score_pairs(
             pairs, sig_grams, cfg.link_threshold
         ).join(io.read("edges").select("norm_a", "norm_b"),
-               ["norm_a", "norm_b"], "left_anti").localCheckpoint(eager=True)
+               ["norm_a", "norm_b"], "left_anti").transform(self._ck)
         n_new_edges = new_edges.count()
         meta = {"stage": "link_incremental", "run_id": cfg.run_id}
         if n_new_edges:
