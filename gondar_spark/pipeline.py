@@ -648,6 +648,9 @@ class Pipeline:
         Cap-freeze note: removal never re-opens a mega-block — a band
         that crossed the cap stays frozen even if removals shrink it
         (consistent with ingest/streaming cap semantics).
+        ``extract_metrics`` is left untouched: its rows are identity-
+        less observability (no file key to anti-join), and metrics
+        inform, never gate.
 
         Returns {"removed_files": n, "dead_norms": n, ...} (also logged
         to lineage)."""

@@ -163,6 +163,12 @@ def main() -> None:
         app_name="gondar_bench_linking",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         shuffle_partitions=32,
+        # the campaign's FULL-RELINK baseline at 10x corpus (the
+        # O(corpus) cost being measured against) needs headroom the
+        # incremental paths don't: 32 concurrent write tasks over the
+        # full re-blocked graph OOM an 8g single-JVM driver at the
+        # 500k-family point
+        extra_conf={"spark.driver.memory": "24g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
