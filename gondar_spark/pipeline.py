@@ -124,19 +124,22 @@ class Pipeline:
     def run(self, source_df: DataFrame | None = None, force: bool = False,
             incremental: bool = False,
             source_path: str | None = None,
-            prune_removed: bool = False) -> dict:
+            prune_removed: bool = False,
+            incremental_materialize: bool = True) -> dict:
         try:
             return self._run(source_df=source_df, force=force,
                              incremental=incremental,
                              source_path=source_path,
-                             prune_removed=prune_removed)
+                             prune_removed=prune_removed,
+                             incremental_materialize=incremental_materialize)
         finally:
             self._free_ckpts()
 
     def _run(self, source_df: DataFrame | None = None, force: bool = False,
              incremental: bool = False,
              source_path: str | None = None,
-             prune_removed: bool = False) -> dict:
+             prune_removed: bool = False,
+             incremental_materialize: bool = True) -> dict:
         """Run all stages with resume. ``incremental=True`` additionally
         enables file-level resume of the extraction stage: files already
         recorded in the committed ``extract_done`` ledger are skipped via
@@ -164,7 +167,16 @@ class Pipeline:
         longer contains. The extraction ledger itself is SEGMENTED: each
         incremental run appends only its new keys (O(new), not
         O(history)); segments fold into one snapshot every
-        ``COMPACT_AFTER`` runs (dedup-on-read in between)."""
+        ``COMPACT_AFTER`` runs (dedup-on-read in between).
+
+        ``incremental_materialize=False`` keeps incremental linking but
+        forces a FULL materialize: the splice is exact-equal to the full
+        path, so this is purely a cost choice — the splice wins when
+        snapshot rewrite is cheap relative to the corpus-wide
+        re-aggregation (row-level-MERGE sinks, big corpora), the full
+        path when rewrite dominates (this sandbox's whole-snapshot
+        parquet writes at the 500k-family point; see
+        BENCH/BASELINE.md's 50k-campaign crossover table)."""
         cfg = self.cfg
         executed: dict[str, bool] = {}
 
@@ -352,7 +364,7 @@ class Pipeline:
                 executed["materialize"] = self._materialize_stage(
                     mentions, labels, triples_raw,
                     force=force_downstream or any(link_exec.values()),
-                    allow_incremental=True)
+                    allow_incremental=incremental_materialize)
                 return executed
             force = force or force_downstream
         else:
