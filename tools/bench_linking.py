@@ -80,6 +80,14 @@ def _link_wall(pipe: Pipeline, run_id: str, stages=_LINK_STAGES) -> float:
     return round(sum(r["wall_s"] for r in recs), 3)
 
 
+def _stage_walls(pipe: Pipeline, run_id: str, stages) -> dict:
+    """Per-stage attribution for the summed walls — which link stage
+    carries the corpus-proportional residual at the capacity edge (the
+    50k campaign's open question) should be readable from the payload,
+    not require a rerun."""
+    return {s: _link_wall(pipe, run_id, stages=(s,)) for s in stages}
+
+
 def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
     wh = tempfile.mkdtemp(prefix="gondar_link_wh_")
     corpus = tempfile.mkdtemp(prefix="gondar_link_corpus_")
@@ -106,6 +114,9 @@ def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
         pipe.run(source_path=corpus, incremental=True)
         ingest_wall = round(time.time() - t0, 3)
         link_wall = _link_wall(pipe, "ingest")
+        # must read lineage while cfg.run_id is still "ingest" —
+        # lineage() reads the current run's file
+        link_stage_walls = _stage_walls(pipe, "ingest", _LINK_STAGES)
         mat_wall = _link_wall(pipe, "ingest", stages=("materialize",))
         n_norms = pipe.io.read("mentions").select("norm").distinct().count()
         n_edges = pipe.io.read("edges").count()
@@ -144,6 +155,7 @@ def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
             "seed_run_wall_s": seed_wall,
             "ingest_run_wall_s": ingest_wall,
             "link_wall_s": link_wall,
+            "link_stage_walls_s": link_stage_walls,
             "materialize_wall_s": mat_wall,
             "retract_wall_s": retract_wall,
             "retract_dead_norms": rstats["dead_norms"],
