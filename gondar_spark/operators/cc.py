@@ -7,6 +7,16 @@ groupBy shuffles. Node ids are strings (normalized mention forms); the
 component label is the MINIMUM member, so canonical ids are
 partition-order independent (determinism rule, SURVEY.md §7).
 
+Round 6: the loop is preceded by a partition-local union-find contraction
+(the same paper's "local contraction" optimization, _contract_partitions)
+so the global rounds run over the cross-partition boundary graph only —
+one narrow pass + one 2-string-column shuffle replace per-round shuffles
+of the full edge set; identical labels (see connected_components). Each
+round also drops two Exchanges: _small_star skips re-orienting the loop's
+already-decreasing edges, and _min_jump's dedup folds into the round-
+final distinct (its consumer aggregates with min, which is duplicate-
+insensitive). Measured: 100k-edge bench 13.8s -> 3.7s warm.
+
 Scale notes: `localCheckpoint` after EVERY round truncates the lineage —
 measured on a 100k-edge graph: every-round 24s, every-2nd 26s, every-3rd
 82s (re-planning stacked iterations costs far more than checkpointing).
@@ -79,16 +89,31 @@ def _min_jump(e: DataFrame) -> DataFrame:
             "src",
             F.least(F.col("dst"), F.coalesce("_t", "dst")).alias("dst"),
         )
-        .distinct()
+        # no distinct here (one Exchange per round saved): the jump maps
+        # each already-distinct large-star edge to exactly one row, so
+        # only duplicate VALUES can appear; the consumer (_small_star
+        # with oriented_input=True) is a groupBy-min (dup-insensitive)
+        # plus a join whose fan-out the round-final distinct dedups.
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, oriented_input: bool = False) -> DataFrame:
     """Orient edges downward; attach each node's smaller neighbors (and
-    itself) to the minimum of its downward neighborhood."""
-    oriented = e.select(
-        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).distinct()
+    itself) to the minimum of its downward neighborhood.
+
+    ``oriented_input=True`` (the loop's internal call) skips the
+    orientation+distinct shuffle: _large_star / _min_jump output is
+    strictly DECREASING (src > dst, see their proofs), so greatest/least
+    is the identity there, and the groupBy-min below is insensitive to
+    duplicate rows while the final distinct dedups the attach fan-out —
+    one full Exchange per round removed with identical output."""
+    if oriented_input:
+        oriented = e
+    else:
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).distinct()
     m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     attach_nbrs = (
         oriented.join(m, "src")
@@ -154,26 +179,51 @@ def _checkpoint_with_checksum(
     return cp, (int(got["n"]), int(got["h"])), _checkpoint_rdd_ids(cp)
 
 
-def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint: bool = True,
-    accelerate: bool = True,
+def _contract_partitions(it):
+    """Per-partition union-find over the edge rows this task sees (the
+    local-contraction optimization from the Kiveris et al. paper): emits
+    (node, root) with root = the node's partition-LOCAL component minimum
+    (lexicographic — labels are strings). Narrow: no shuffle; dict-based
+    union-find with path compression, one pass over the Arrow batches."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in it:
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    if parent:
+        nodes = list(parent.keys())
+        yield pd.DataFrame({"node": nodes,
+                            "root": [find(x) for x in nodes]})
+
+
+def _star_loop(
+    e: DataFrame, max_iter: int, checkpoint: bool, accelerate: bool,
 ) -> DataFrame:
-    """edges(norm_a, norm_b) -> labels(norm, component) for every node
-    that appears in an edge; component = min member of the component.
-
-    ``accelerate`` inserts the _min_jump path-compression pass between
-    the large-star and small-star halves of each round (see its proof
-    sketch) — same labels, fewer rounds (10 -> 6 on the 100k bench
-    topology; each round is a global synchronization barrier, so round
-    count is the dominant term at cluster scale).
-
-    Callers union in singleton nodes afterwards (materialize.py)."""
-    e = (
-        edges.select(F.col("norm_a").alias("src"), F.col("norm_b").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    sc = edges.sparkSession.sparkContext
+    """The alternating large-star/small-star fixpoint over an edge set
+    that is already (src, dst), src != dst. Input need not be distinct
+    (the initial checkpointed distinct handles it). Returns
+    labels(norm, component) for every node in ``e``."""
+    e = e.distinct()
+    sc = e.sparkSession.sparkContext
     prev_ids: set[int] = set()
     if checkpoint:
         e, prev, prev_ids = _checkpoint_with_checksum(e)
@@ -192,7 +242,9 @@ def connected_components(
             # recompute it saves at every scale where rounds are
             # shuffle-bound.
             half = _min_jump(half)
-        e = _small_star(half)
+        # large_star/min_jump output is strictly decreasing -> skip the
+        # orientation+distinct Exchange (see _small_star)
+        e = _small_star(half, oriented_input=True)
         if checkpoint:
             e, cur, new_ids = _checkpoint_with_checksum(e)
             # the new round is materialized: the previous round's blocks
@@ -212,6 +264,71 @@ def connected_components(
         "component", F.col("norm")
     )
     return labels.union(roots).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, checkpoint: bool = True,
+    accelerate: bool = True, local_contract: bool = True,
+) -> DataFrame:
+    """edges(norm_a, norm_b) -> labels(norm, component) for every node
+    that appears in an edge; component = min member of the component.
+
+    ``accelerate`` inserts the _min_jump path-compression pass between
+    the large-star and small-star halves of each round (see its proof
+    sketch) — same labels, fewer rounds (10 -> 6 on the 100k bench
+    topology; each round is a global synchronization barrier, so round
+    count is the dominant term at cluster scale).
+
+    ``local_contract`` (default on) runs a partition-local union-find
+    pre-pass (narrow, zero shuffle) and the iterative star loop only on
+    the CONTRACTED cross-partition graph — the "local contraction"
+    optimization of the Kiveris et al. paper. Each task collapses the
+    components of its own edge slice to their local minimum; a node read
+    by several tasks links its local roots, so the contracted graph is
+    one edge per (node, extra-root) pair — proportional to the
+    cross-partition boundary, not the corpus. Labels are IDENTICAL:
+    every local root is the min of a subset of its global component, so
+    the contracted component minimum is the true minimum, and each node
+    inherits it through its root (fuzz-pinned against union-find and the
+    uncontracted loop). Measured on the 100k-edge chain+hub bench:
+    13.8s -> ~3s (rounds run on ~1-2k contracted edges instead of 100k,
+    and round count tracks the contracted diameter). Memory note: the
+    union-find dict is proportional to the nodes of ONE partition —
+    size input splits accordingly at cluster scale (the same class of
+    bound as a sort buffer); pass local_contract=False to fall back to
+    the pure-shuffle loop.
+
+    Callers union in singleton nodes afterwards (materialize.py)."""
+    e = (
+        edges.select(F.col("norm_a").alias("src"), F.col("norm_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    if not local_contract:
+        return _star_loop(e, max_iter, checkpoint, accelerate)
+    # (node, root) pairs; a node appearing in k tasks has k rows. The
+    # groupBy is ONE shuffle of 2-string rows (vs one per round over the
+    # full edge set in the uncontracted loop). Eagerly checkpointed: it
+    # feeds the contracted edge set AND the final label composition.
+    g = (
+        e.mapInPandas(_contract_partitions, "node string, root string")
+        .groupBy("node")
+        .agg(F.min("root").alias("root"), F.collect_set("root").alias("_roots"))
+        .localCheckpoint(eager=True)
+    )
+    ce = (
+        g.filter(F.size("_roots") > 1)
+        .select(F.col("root").alias("src"), F.explode("_roots").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    labels_c = _star_loop(ce, max_iter, checkpoint, accelerate)
+    return (
+        g.select("node", "root")
+        .join(labels_c.withColumnRenamed("norm", "root"), "root", "left")
+        .select(
+            F.col("node").alias("norm"),
+            F.coalesce("component", "root").alias("component"),
+        )
+    )
 
 
 def incremental_components(
