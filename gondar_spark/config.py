@@ -43,6 +43,19 @@ class JobConfig:
                                           # golden alias clusters span
                                           # languages by design)
     cc_max_iter: int = 20                 # fixpoint cap for connected components
+    durable_link_state: bool = False      # commit the incremental-ingest state
+                                          # (link_signatures / link_done /
+                                          # mat_done / entity_ids) on one-shot
+                                          # full runs too. Default off: a
+                                          # one-shot build should not pay for
+                                          # durability it never uses (round-5
+                                          # verdict #4 — the commits cost
+                                          # ~25% of the full-run wall).
+                                          # run(incremental=True), streaming
+                                          # ingest and any warehouse that
+                                          # already has the ledgers force it
+                                          # on regardless — outputs are
+                                          # identical either way.
     # --- scale / skew (SURVEY.md B10) ---
     shuffle_partitions: int = 32
     salt_buckets: int = 8                 # deterministic hash-salt fan-out for hot keys

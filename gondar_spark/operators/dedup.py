@@ -518,32 +518,37 @@ def simhash_dedup(
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     n_bands = n_bits // band_bits
     band_mask = (1 << band_bits) - 1
-    # materialize token hashes ONCE; referencing an inline tokenizer from
-    # 64 aggregate() lambdas would re-split the text 64x per row (no CSE
-    # across higher-order functions)
-    hashed_df = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens_col(col), tok_hash).alias("_h"),
+    # Bit votes via explode -> ONE groupBy with 60/64 conditional sums
+    # (round 6). The previous form — 60/64 separate higher-order
+    # aggregate() lambdas over an in-row token-hash array — was
+    # measured to spend more time BUILDING and codegen-compiling the
+    # expression tree (~1.3s driver-side per call, plus a giant
+    # generated class) than computing it. The shuffle this introduces is
+    # a compact (id, 8-byte hash) stream with map-side partial sums.
+    # Semantics identical: sum of the same +/-1 terms per bit;
+    # explode_outer keeps token-less docs (they vote 0/negative on
+    # every bit -> simhash 0, exactly as the empty-array aggregate did).
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode_outer(tokens_col(col)).alias("_t"))
+    h = tok_hash(F.col("_t"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(n_bits)
+        ]
     )
-    hashed = F.col("_h")
-    bit_votes = [
-        F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for b in range(n_bits)
-    ]
     sim = None
-    for b, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(n_bits):
+        bit = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseXOR(term)
-    # the 60/64 bit-vote aggregates are the expensive part and feed BOTH
-    # sides of the band self-join — persist the fingerprints so the votes
-    # run once per row, not twice
-    fp = _tracked_persist(hashed_df.select("id", sim.alias("simhash")))
+    # the bit votes feed BOTH sides of the band self-join — persist the
+    # fingerprints so the votes run once per row, not twice
+    fp = _tracked_persist(votes.select("id", sim.alias("simhash")))
     bands = fp.select(
         "id",
         "simhash",

@@ -179,6 +179,14 @@ class Pipeline:
         BENCH/BASELINE.md's 50k-campaign crossover table)."""
         cfg = self.cfg
         executed: dict[str, bool] = {}
+        # link-state durability (round-5 verdict #4): one-shot builds skip
+        # committing the incremental-ingest state (outputs identical, the
+        # commits cost ~25% of the run). Incremental callers DECLARE the
+        # lifecycle via incremental=True, and a warehouse that already has
+        # the entity ledger stays durable forever (its published ids must
+        # keep being honored and advanced).
+        durable = (cfg.durable_link_state or incremental
+                   or self.io.exists("entity_ids"))
 
         # stage 1: source scan + sha256 pass (B1/B2)
         if source_path is not None and source_df is not None:
@@ -224,14 +232,33 @@ class Pipeline:
                     force=force or incremental,
                 )
         elif source_df is not None:
-            executed["source"] = self._run_stage(
-                "source",
-                {cfg.source_table: source_df,
-                 "source_hashes": source.with_content_sha(source_df).select(
-                     "repo", "path", "commit", "content_sha256")},
-                partition_by={cfg.source_table: ["lang"]},
-                force=force or incremental,
-            )
+            # write the corpus FIRST, hash the committed copy: the two
+            # tables previously evaluated the (possibly expensive) input
+            # plan twice — a synthetic generator or an upstream join paid
+            # per table. The committed parquet scan prunes to the key +
+            # content columns for the sha pass. Same outputs, one
+            # evaluation.
+            probe = (cfg.source_table, "source_hashes")
+            if (not (force or incremental)
+                    and all(self.io.exists(t) for t in probe)):
+                self._log("source", skipped=True)
+                executed["source"] = False
+            else:
+                t0 = time.time()
+                meta = {"stage": "source", "run_id": cfg.run_id}
+                rows = {}
+                commit = self.io.write(source_df, cfg.source_table,
+                                       partition_by=["lang"], meta=meta)
+                rows[cfg.source_table] = commit.get("rows")
+                committed = self.io.read(cfg.source_table)
+                commit = self.io.write(
+                    source.with_content_sha(committed).select(
+                        "repo", "path", "commit", "content_sha256"),
+                    "source_hashes", meta=meta)
+                rows["source_hashes"] = commit.get("rows")
+                self._log("source", skipped=False,
+                          wall_s=round(time.time() - t0, 3), rows=rows)
+                executed["source"] = True
         src = self.io.read(cfg.source_table)
 
         # stage 2: chunk + vectorized extraction (B3/B4)
@@ -428,10 +455,15 @@ class Pipeline:
             )
             pairs = blocking.candidate_pairs(blocks_ok, max_block_size=None)
             from .operators.scoring import score_pairs
-            return ({"edges": score_pairs(pairs, sig, cfg.link_threshold),
-                     "link_signatures": sig},
-                    [sig, sizes])
-        executed["edges"] = self._run_stage_lazy("edges", _edges, force=force)
+            tables = {"edges": score_pairs(pairs, sig, cfg.link_threshold)}
+            if durable:
+                # the committed LSH index later ingests probe — one-shot
+                # builds skip the write (durability knob above)
+                tables["link_signatures"] = sig
+            return (tables, [sig, sizes])
+        edges_probe = ("edges", "link_signatures") if durable else ("edges",)
+        executed["edges"] = self._run_stage_lazy(
+            "edges", _edges, force=force, probe_tables=edges_probe)
         edges = self.io.read("edges")
 
         # stage 5: connected components (B9)
@@ -444,14 +476,14 @@ class Pipeline:
         # a completed full linking pass covers every extracted file: seed
         # (or reset) the link_done ledger so later incremental runs link
         # only what extraction adds after this point
-        if executed["labels"] or not self.io.exists("link_done"):
+        if durable and (executed["labels"] or not self.io.exists("link_done")):
             self.io.write(
                 self.io.read("extract_done").distinct(), "link_done",
                 meta={"stage": "labels", "run_id": cfg.run_id})
 
         # stage 6: materialize triples + dictionaries (B11/B13)
         executed["materialize"] = self._materialize_stage(
-            mentions, labels, triples_raw, force=force)
+            mentions, labels, triples_raw, force=force, durable=durable)
         return executed
 
     # ---- stable canonical ids + materialize ---------------------------------
@@ -470,7 +502,8 @@ class Pipeline:
 
     def _materialize_stage(self, mentions: DataFrame, labels: DataFrame,
                            triples_raw: DataFrame, force: bool,
-                           allow_incremental: bool = False) -> bool:
+                           allow_incremental: bool = False,
+                           durable: bool = True) -> bool:
         """Materialize with STABLE entity ids: CC labels are component
         minima and churn when a lower-id member arrives; the entity_ids
         ledger maps every mention norm to its FIRST-ASSIGNED id, so
@@ -486,11 +519,30 @@ class Pipeline:
         re-aggregating the corpus — exact-equal to the full path by
         construction and by test."""
         probe = _STAGE_TABLES["materialize"]
+        has_ledger = self.io.exists("entity_ids")
         if (not force and all(self.io.exists(t) for t in probe)
-                and self.io.exists("entity_ids")):
+                and (has_ledger or not durable)):
             self._log("materialize", skipped=True)
             return False
-        has_ledger = self.io.exists("entity_ids")
+        if not durable and not has_ledger:
+            # one-shot fast path (durability knob): on a fresh warehouse
+            # the stable-id resolution is the IDENTITY (assign = CC label,
+            # singletons = own norm — resolve_stable_ids with no prior
+            # map), so the labels table IS the mapping and the whole
+            # identity machinery (3 joins + a checkpoint + 2 ledger
+            # writes) is skipped. Outputs bit-equal to the durable first
+            # run by construction and by test.
+            def _mat():
+                return materialize.full_outputs(
+                    mentions, triples_raw,
+                    labels.select("norm",
+                                  F.col("component").alias("entity_id")))
+
+            return self._run_stage_lazy(
+                "materialize", _mat,
+                partition_by={"triples": ["pred"], "aliases": ["lang"]},
+                force=True,
+            )
         prior_map = self._read_entity_ledger() if has_ledger else None
         # all_norms lets the holder-aware rule see SINGLETON holders —
         # after a retraction, a component fragment must not claim an id
@@ -670,6 +722,18 @@ class Pipeline:
         cfg = self.cfg
         keys = self._LINK_KEYS
         t0 = time.time()
+        missing = [t for t in ("extract_done", "link_signatures",
+                               "entity_ids")
+                   if not io.exists(t)]
+        if missing:
+            from .errors import StageError
+
+            raise StageError(
+                "retract() needs the committed link state "
+                f"(missing: {missing}); build the warehouse with "
+                "JobConfig(durable_link_state=True) or run(incremental="
+                "True) — one-shot builds skip those commits by design"
+            )
         if source_df is None:
             if source_path is None:
                 raise ValueError("retract() needs source_df or source_path")
@@ -1098,13 +1162,17 @@ class Pipeline:
                 self._log("ledger_compact", table="entity_ids",
                           segments=n_seg)
 
-    def _run_stage_lazy(self, name, thunk, partition_by=None, force=False) -> bool:
+    def _run_stage_lazy(self, name, thunk, partition_by=None, force=False,
+                        probe_tables=None) -> bool:
         """Resume-aware stage: only build the DataFrames if not committed
         (building them is cheap/lazy, but skipping keeps lineage honest).
         A thunk may return (tables, [cached DataFrames]); the caches are
         unpersisted once the stage write completes (or fails) so repeated
-        runs in one session never accumulate executor storage."""
-        probe_tables = _STAGE_TABLES[name]
+        runs in one session never accumulate executor storage.
+        ``probe_tables`` overrides the stage's resume probe (the edges
+        stage probes link_signatures only on durable runs)."""
+        if probe_tables is None:
+            probe_tables = _STAGE_TABLES[name]
         if not force and all(self.io.exists(t) for t in probe_tables):
             self._log(name, skipped=True)
             return False

@@ -42,6 +42,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="with --incremental: drop ledger/hash rows for "
                         "files the registered corpus no longer contains "
                         "(default assumes an append-only corpus)")
+    p.add_argument("--durable-link-state", action="store_true",
+                   help="commit the incremental-ingest state (link "
+                        "signatures / ledgers / entity-id ledger) on a "
+                        "one-shot full run too — required before a later "
+                        "--incremental or --retract against this "
+                        "warehouse; skipped by default (the commits cost "
+                        "~25%% of a one-shot build)")
     p.add_argument("--retract", action="store_true",
                    help="incremental retraction (takedown): remove files "
                         "present in the warehouse ledgers but ABSENT from "
@@ -114,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
         chunk_lines=args.chunk_lines,
         link_threshold=args.link_threshold,
         shuffle_partitions=args.shuffle_partitions,
+        durable_link_state=args.durable_link_state,
     )
     batch_extractor = None
     if args.extractor == "llm-mock":

@@ -53,7 +53,8 @@ def test_incremental_link_equals_full_recompute(spark, tmp_path):
     takes the O(new) probe path — asserted via lineage) must produce the
     same mentions / edges / labels as a from-scratch pipeline on the
     grown corpus."""
-    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="inc")
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="inc",
+                    durable_link_state=True)
     pipe = Pipeline(spark, cfg)
     base = generate_source_df(
         spark, SynthConfig(n_files=80), partitions=4).unionByName(
@@ -102,7 +103,8 @@ def test_entity_id_stability_across_merge(spark, tmp_path):
     the published entity id must not: the surviving id is the minimum
     FIRST-ASSIGNED id, the merge is recorded, and untouched entities
     keep their ids."""
-    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="merge")
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="merge",
+                    durable_link_state=True)
     pipe = Pipeline(spark, cfg)
 
     # run 1: comp1 = {w2, w4} (id E1 = w2-norm), comp2 = {w10, w12}
@@ -156,7 +158,8 @@ def test_entity_id_stability_across_merge(spark, tmp_path):
 def test_entity_id_stable_under_smaller_newcomer(spark, tmp_path):
     """No merge — just a new lexicographically-smaller member joining one
     component. min-label CC would relabel; the ledger must not."""
-    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="newmin")
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="newmin",
+                    durable_link_state=True)
     pipe = Pipeline(spark, cfg)
     run1 = _src(spark, [("a.py", _win(2)), ("b.py", _win(4))])
     pipe.run(source_df=run1)
@@ -197,7 +200,8 @@ def test_link_crash_before_ledger_advance_replays(spark, tmp_path):
     signatures / mentions are already appended. The next run must replay
     the pending files WITHOUT duplicating anything and converge to the
     from-scratch state."""
-    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="r1")
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="r1",
+                    durable_link_state=True)
     pipe = Pipeline(spark, cfg)
     run1 = _src(spark, [("a.py", _win(2)), ("b.py", _win(4))])
     pipe.run(source_df=run1)
@@ -224,7 +228,8 @@ def test_link_crash_before_labels_folds_unreflected_edges(spark, tmp_path):
     """Kill the run between the edges append and the labels write: the
     labels manifest doesn't list the new segment, so the next run must
     fold it into its incremental CC input (unreflected-segment path)."""
-    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="r1")
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="r1",
+                    durable_link_state=True)
     pipe = Pipeline(spark, cfg)
     run1 = _src(spark, [("a.py", _win(2)), ("b.py", _win(4))])
     pipe.run(source_df=run1)

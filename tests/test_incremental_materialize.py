@@ -46,7 +46,8 @@ def _full_recompute_snapshot(spark, pipe, tmp_path, tag):
 
 
 def test_incremental_materialize_exact_equal(spark, tmp_path):
-    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="m1")
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="m1",
+                    durable_link_state=True)
     pipe = Pipeline(spark, cfg)
     base = generate_source_df(
         spark, SynthConfig(n_files=60), partitions=4).unionByName(
@@ -91,7 +92,8 @@ def test_incremental_materialize_crash_replay(spark, tmp_path):
     the replay must converge to the same exact outputs, no duplicates."""
     from tests.test_incremental_linking import _crash_on
 
-    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="m1")
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="m1",
+                    durable_link_state=True)
     pipe = Pipeline(spark, cfg)
     run1 = _src(spark, [("a.py", _win(2)), ("b.py", _win(4))])
     pipe.run(source_df=run1)
@@ -119,7 +121,8 @@ def test_incremental_materialize_opt_out(spark, tmp_path):
     identical to the splice's."""
     def _seed(wh, run_id):
         pipe = Pipeline(spark, JobConfig(warehouse=str(tmp_path / wh),
-                                         run_id=run_id))
+                                         run_id=run_id,
+                                         durable_link_state=True))
         pipe.run(source_df=_src(spark, [("a.py", _win(2)),
                                         ("b.py", _win(4))]))
         return pipe

@@ -45,7 +45,8 @@ def test_retract_equals_scratch_build(spark, tmp_path):
     same-ledger full recompute; and the fragment holding the old id norm
     (w0's) keeps the published id while the other fragment gets a fresh
     one."""
-    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="r1")
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="r1",
+                    durable_link_state=True)
     pipe = Pipeline(spark, cfg)
     synth = generate_source_df(spark, SynthConfig(n_files=60), partitions=4)
     full = synth.unionByName(
@@ -62,7 +63,8 @@ def test_retract_equals_scratch_build(spark, tmp_path):
     assert stats["touched_components"] >= 1
 
     scratch = Pipeline(spark, JobConfig(
-        warehouse=str(tmp_path / "wh2"), run_id="scratch"))
+        warehouse=str(tmp_path / "wh2"), run_id="scratch",
+        durable_link_state=True))
     scratch.run(source_df=remaining)
     for table, cols in _LINK:
         assert _set(pipe.io.read(table), cols) == \
@@ -95,7 +97,8 @@ def test_retract_singleton_keeps_id_against_fragment(spark, tmp_path):
     component that still claims the old id. The singleton must keep its
     published id (it IS the id norm); the fragment must take a fresh
     one — no two entities may share an id."""
-    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="s1")
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="s1",
+                    durable_link_state=True)
     pipe = Pipeline(spark, cfg)
     pipe.run(source_df=_src(spark, _win_files([0, 2, 4, 6])))
     pipe.retract(source_df=_src(spark, _win_files([0, 4, 6])))
@@ -130,7 +133,8 @@ def test_retract_crash_replay(spark, tmp_path):
     and ledgers are pruned last)."""
     from tests.test_incremental_linking import _crash_on
 
-    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="c1")
+    cfg = JobConfig(warehouse=str(tmp_path / "wh"), run_id="c1",
+                    durable_link_state=True)
     pipe = Pipeline(spark, cfg)
     pipe.run(source_df=_src(spark, _win_files([0, 2, 4, 6, 12, 14])))
     remaining = _src(spark, _win_files([0, 2, 6, 12, 14]))
@@ -142,7 +146,8 @@ def test_retract_crash_replay(spark, tmp_path):
     pipe.retract(source_df=remaining)
 
     scratch = Pipeline(spark, JobConfig(
-        warehouse=str(tmp_path / "wh2"), run_id="scratch"))
+        warehouse=str(tmp_path / "wh2"), run_id="scratch",
+        durable_link_state=True))
     scratch.run(source_df=remaining)
     for table, cols in _LINK:
         assert _set(pipe.io.read(table), cols) == \
