@@ -98,19 +98,42 @@ class Pipeline:
 
     def _run_stage(self, name: str, tables: dict[str, "DataFrame"],
                    partition_by: dict[str, list[str]] | None = None,
-                   force: bool = False) -> bool:
+                   force: bool = False, parallel: bool = False) -> bool:
         """Write each output table unless all are already committed.
-        Returns True if the stage executed, False if skipped (resume)."""
+        Returns True if the stage executed, False if skipped (resume).
+
+        ``parallel`` overlaps the independent table writes from a small
+        driver thread pool (guide §2.6: actions are only sequential
+        because the driver calls them sequentially) — one write's task
+        tail back-fills with the next write's tasks. Safe ONLY when the
+        table plans read committed/checkpointed inputs: plans sharing an
+        un-materialized persist would race to populate the cache and
+        re-run the expensive upstream (the extract-once contract), so
+        the extraction stage stays sequential."""
         if not force and all(self.io.exists(t) for t in tables):
             self._log(name, skipped=True)
             return False
         t0 = time.time()
         rows = {}
-        for tbl, df in tables.items():
+
+        def _write(item):
+            tbl, df = item
             pb = (partition_by or {}).get(tbl)
-            commit = self.io.write(df, tbl, partition_by=pb,
-                                   meta={"stage": name, "run_id": self.cfg.run_id})
-            rows[tbl] = commit.get("rows")
+            commit = self.io.write(
+                df, tbl, partition_by=pb,
+                meta={"stage": name, "run_id": self.cfg.run_id})
+            return tbl, commit.get("rows")
+
+        if parallel and len(tables) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(3, len(tables))) as ex:
+                for tbl, n in ex.map(_write, tables.items()):
+                    rows[tbl] = n
+        else:
+            for item in tables.items():
+                tbl, n = _write(item)
+                rows[tbl] = n
         self._log(name, skipped=False, wall_s=round(time.time() - t0, 3),
                   rows=rows)
         return True
@@ -397,6 +420,12 @@ class Pipeline:
         else:
             def _extract_all():
                 triples, quarantine, metrics, raw = _extract(src)
+                # materialize the extraction cache with ONE action so the
+                # four table writes below can run overlapped (guide §2.6)
+                # without racing to populate the persist — the extractor
+                # still runs exactly once per unit (the extract-once
+                # contract, pinned by the CountingBatchExtractor test)
+                raw.count()
                 return ({"triples_raw": triples, "quarantine": quarantine,
                          "extract_metrics": metrics.select(
                              F.col("obj").alias("metric"), "chunk_id"),
@@ -404,7 +433,7 @@ class Pipeline:
                              "repo", "path", "commit").distinct()},
                         [raw])
             executed["triples_raw"] = self._run_stage_lazy(
-                "triples_raw", _extract_all, force=force)
+                "triples_raw", _extract_all, force=force, parallel=True)
         triples_raw = self.io.read("triples_raw")
 
         # stage 3: distinct normalized mentions (B5)
@@ -420,13 +449,13 @@ class Pipeline:
         # LSH index incremental runs probe — band keys re-derive in-row
         # from the h-columns (no shuffle), and the grams column feeds the
         # verify join, so a later ingest never re-blocks the corpus.
-        def _edges():
+        edges_probe = ("edges", "link_signatures") if durable else ("edges",)
+        if force or not all(self.io.exists(t) for t in edges_probe):
             # sig feeds band keys + both sides of the scoring join —
-            # persist so the md5 minhash computation runs once. Both
-            # persists are released in _run_stage_lazy's finally once the
-            # stage write (the one action that consumes them) completes —
-            # a long-lived session must not accumulate cached signatures
-            # across runs.
+            # persist so the md5 minhash computation runs once; released
+            # below once the stage write (the one action that consumes
+            # them) completes — a long-lived session must not accumulate
+            # cached signatures across runs.
             sig = blocking.minhash_signature_df(
                 mentions, cfg.minhash_hashes, cfg.extractor_seed,
                 cfg.shingle_size).persist()
@@ -435,18 +464,15 @@ class Pipeline:
                 lang_df=mentions if cfg.link_lang_aware else None)
             # mega-block cap accounting (B7/B10): the cap bounds the s^2/2
             # pair blow-up of degenerate blocks and must never fire
-            # silently. Compute band sizes ONCE (persisted — it is tiny:
-            # one row per band key), use them for both the logged drop
-            # count and the cap filter, so the pair join doesn't re-run
-            # the same groupBy internally.
+            # silently. Band sizes are computed ONCE (persisted — one row
+            # per band key) and feed both the cap filter and the logged
+            # drop count; the count itself runs AFTER the stage write,
+            # off the populated cache (a separate eager count here cost
+            # an extra job whose only purpose was logging).
             sizes = (
                 blocks.groupBy("band_key").agg(F.count("*").alias("_bs"))
                 .persist()
             )
-            n_mega = sizes.filter(F.col("_bs") > cfg.max_block_size).count()
-            if n_mega:
-                self._log("edges_megablock_cap", n_blocks_dropped=n_mega,
-                          max_block_size=cfg.max_block_size)
             blocks_ok = blocks.join(
                 sizes.filter(F.col("_bs") <= cfg.max_block_size)
                 .select("band_key"),
@@ -460,10 +486,20 @@ class Pipeline:
                 # the committed LSH index later ingests probe — one-shot
                 # builds skip the write (durability knob above)
                 tables["link_signatures"] = sig
-            return (tables, [sig, sizes])
-        edges_probe = ("edges", "link_signatures") if durable else ("edges",)
-        executed["edges"] = self._run_stage_lazy(
-            "edges", _edges, force=force, probe_tables=edges_probe)
+            try:
+                executed["edges"] = self._run_stage(
+                    "edges", tables, force=True)
+                n_mega = sizes.filter(
+                    F.col("_bs") > cfg.max_block_size).count()
+                if n_mega:
+                    self._log("edges_megablock_cap", n_blocks_dropped=n_mega,
+                              max_block_size=cfg.max_block_size)
+            finally:
+                sig.unpersist()
+                sizes.unpersist()
+        else:
+            self._log("edges", skipped=True)
+            executed["edges"] = False
         edges = self.io.read("edges")
 
         # stage 5: connected components (B9)
@@ -541,7 +577,7 @@ class Pipeline:
             return self._run_stage_lazy(
                 "materialize", _mat,
                 partition_by={"triples": ["pred"], "aliases": ["lang"]},
-                force=True,
+                force=True, parallel=True,
             )
         prior_map = self._read_entity_ledger() if has_ledger else None
         # all_norms lets the holder-aware rule see SINGLETON holders —
@@ -585,7 +621,7 @@ class Pipeline:
             executed = self._run_stage_lazy(
                 "materialize", _mat,
                 partition_by={"triples": ["pred"], "aliases": ["lang"]},
-                force=True,
+                force=True, parallel=True,
             )
             # a completed full materialize covers every extracted file
             self.io.write(
@@ -649,12 +685,21 @@ class Pipeline:
             mentions, triples_raw, new_raw, mapping, prior_map, changed,
             ckpts=self._ckpts)
 
-        rows = {}
-        for tbl, pb in (("triples", ["pred"]), ("entities", None),
-                        ("aliases", ["lang"])):
+        # overlapped writes (guide §2.6) — every input is a committed
+        # table, a broadcast of a checkpointed scope frame, or the
+        # checkpointed mapping, so the three plans share no live persist
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(item):
+            tbl, pb = item
             commit = io.write(outputs[tbl], tbl, partition_by=pb, meta={
                 "stage": "materialize", "run_id": self.cfg.run_id})
-            rows[tbl] = commit.get("rows")
+            return tbl, commit.get("rows")
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            rows = dict(ex.map(_write, (("triples", ["pred"]),
+                                        ("entities", None),
+                                        ("aliases", ["lang"]))))
         io.append(pending, "mat_done",
                   meta={"stage": "materialize", "run_id": self.cfg.run_id})
         if len(io.segments("mat_done")) >= self.COMPACT_AFTER:
@@ -1163,7 +1208,7 @@ class Pipeline:
                           segments=n_seg)
 
     def _run_stage_lazy(self, name, thunk, partition_by=None, force=False,
-                        probe_tables=None) -> bool:
+                        probe_tables=None, parallel=False) -> bool:
         """Resume-aware stage: only build the DataFrames if not committed
         (building them is cheap/lazy, but skipping keeps lineage honest).
         A thunk may return (tables, [cached DataFrames]); the caches are
@@ -1180,7 +1225,8 @@ class Pipeline:
         tables, caches = built if isinstance(built, tuple) else (built, [])
         try:
             return self._run_stage(
-                name, tables, partition_by=partition_by, force=True)
+                name, tables, partition_by=partition_by, force=True,
+                parallel=parallel)
         finally:
             for df in caches:
                 df.unpersist()
