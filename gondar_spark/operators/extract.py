@@ -67,7 +67,23 @@ def _extract_micro_batch(pdf: pd.DataFrame, chunk_lines: int,
                          extractor: ExtractorFn = extract_from_content,
                          batch_extractor=None,
                          ) -> dict[str, list]:
+    """pandas-frame wrapper over :func:`_extract_rows` (kept for callers
+    that hold a pdf — the streaming jobs and the unit tests)."""
+    rows = list(zip(
+        pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
+        pdf["base_chunk"], pdf["unit"]
+    ))
+    return _extract_rows(rows, chunk_lines, max_retries, extractor,
+                         batch_extractor)
+
+
+def _extract_rows(rows: list, chunk_lines: int,
+                  max_retries: int,
+                  extractor: ExtractorFn = extract_from_content,
+                  batch_extractor=None,
+                  ) -> dict[str, list]:
     """One extractor invocation per micro-batch (the batched 'LLM call').
+    ``rows`` = (repo, path, commit, lang, base_chunk, unit) tuples.
 
     ``batch_extractor`` (e.g. extraction.llm.BatchLLMExtractor) takes the
     whole micro-batch at once — prompt assembly + batched transport calls
@@ -87,11 +103,6 @@ def _extract_micro_batch(pdf: pd.DataFrame, chunk_lines: int,
         cols["commit"].append(commit)
         cols["lang"].append(lang)
         cols["chunk_id"].append(chunk_id)
-
-    rows = list(zip(
-        pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
-        pdf["base_chunk"], pdf["unit"]
-    ))
 
     if batch_extractor is not None:
         results = batch_extractor.extract_batch(
@@ -141,12 +152,29 @@ def extract_triples(units: DataFrame, max_retries: int = 2,
     boundary — the reference's token-minimization instinct,
     /root/reference/gondar/tools/entrez.py:59-68, as input narrowing).
     """
-    narrow = units.select("repo", "path", "commit", "lang", "base_chunk", "unit")
+    import pyarrow as pa
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            cols = _extract_micro_batch(pdf, chunk_lines, max_retries,
-                                        extractor, batch_extractor)
+    narrow = units.select("repo", "path", "commit", "lang", "base_chunk", "unit")
+    arrow_schema = pa.schema(
+        [pa.field(c, pa.int32() if c == "chunk_id" else pa.string())
+         for c in _COLS])
+
+    # mapInArrow, not mapInPandas (round 6): the extractor itself is
+    # ~13us/doc — the stage cost was the boundary. Building the output as
+    # pyarrow arrays straight from the emit lists skips the
+    # dict -> pandas object-array -> arrow round trip on ~9 string
+    # columns x every emitted fact row (guide §4.2: hand whole batches to
+    # the columnar library, don't detour through pandas).
+    def run(batches) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            names = rb.schema.names
+            cols_in = {n: rb.column(i).to_pylist()
+                       for i, n in enumerate(names)}
+            rows = list(zip(cols_in["repo"], cols_in["path"],
+                            cols_in["commit"], cols_in["lang"],
+                            cols_in["base_chunk"], cols_in["unit"]))
+            cols = _extract_rows(rows, chunk_lines, max_retries,
+                                 extractor, batch_extractor)
             if emit_metrics:
                 # count BEFORE appending the metric row itself, and exclude
                 # quarantine (__error__) rows — triples only. Tag the
@@ -163,15 +191,18 @@ def extract_triples(units: DataFrame, max_retries: int = 2,
                 cols["subj"].append("__batch__")
                 cols["pred"].append("__metric__")
                 cols["obj"].append(
-                    f"units_in={len(pdf)};triples_out={n_triples}"
+                    f"units_in={rb.num_rows};triples_out={n_triples}"
                     f";partition={pid}")
                 cols["kind"].append("metric")
                 for c in ("repo", "path", "commit", "lang"):
                     cols[c].append("")
                 cols["chunk_id"].append(-1)
-            yield pd.DataFrame(cols)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type)
+                 for f in arrow_schema],
+                schema=arrow_schema)
 
-    return narrow.mapInPandas(run, EXTRACT_SCHEMA)
+    return narrow.mapInArrow(run, EXTRACT_SCHEMA)
 
 
 def split_extraction(raw: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
