@@ -57,6 +57,15 @@ class JobConfig:
                                           # on regardless — outputs are
                                           # identical either way.
     # --- scale / skew (SURVEY.md B10) ---
+    broadcast_row_limit: int = 1_000_000  # incremental/retract batch-scope
+                                          # frames are broadcast-HINTED only
+                                          # below this row count; above it
+                                          # the hints are dropped (AQE picks
+                                          # the join strategy) so a bulk
+                                          # backlog or mass takedown degrades
+                                          # to shuffle joins instead of
+                                          # OOMing the driver (round-5
+                                          # verdict #2). Logged either way.
     shuffle_partitions: int = 32
     salt_buckets: int = 8                 # deterministic hash-salt fan-out for hot keys
     hot_key_threshold: int = 100_000      # rows per key before salting kicks in

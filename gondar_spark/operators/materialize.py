@@ -21,6 +21,14 @@ from .normalize import LINKABLE_KINDS, norm_col
 
 
 
+def _hint(hint_broadcast: bool):
+    """Broadcast hint for the batch-proportional scope frames: F.broadcast
+    when the caller's size gate passed (the default), identity otherwise —
+    the pipeline drops the hints for oversized batches (round-5 verdict
+    #2) and AQE picks the strategy from real sizes."""
+    return F.broadcast if hint_broadcast else (lambda df: df)
+
+
 def _ckpt(df: DataFrame, ckpts: list | None) -> DataFrame:
     """Eager localCheckpoint; registered in ``ckpts`` when the caller
     (the pipeline) wants to free the blocks at end of run — long-lived
@@ -134,6 +142,7 @@ def incremental_outputs(
     prior_map: DataFrame,
     changed: DataFrame,
     ckpts: list | None = None,
+    hint_broadcast: bool = True,
 ) -> tuple[dict[str, DataFrame], DataFrame, DataFrame]:
     """Affected-group splice: recompute ONLY the output groups an ingest
     touches and splice them into the prior snapshot — the O(new) analog
@@ -157,10 +166,11 @@ def incremental_outputs(
     oracles. Returns (outputs, affected_ids, drop_keys) — the two scope
     frames are localCheckpointed so callers can count them for lineage
     without recomputation."""
+    B = _hint(hint_broadcast)
     # ---- affected entity ids --------------------------------------------
     changed_norms = changed.select("norm").distinct()
     prior_ids = (
-        prior_map.join(F.broadcast(changed_norms), "norm", "left_semi")
+        prior_map.join(B(changed_norms), "norm", "left_semi")
         .select("entity_id").distinct()
     )
     new_ids = changed.select("entity_id").distinct()
@@ -170,7 +180,7 @@ def incremental_outputs(
         .filter(F.length("norm") > 0).distinct()
     )
     pending_ids = (
-        mapping.join(F.broadcast(pending_norms), "norm", "left_semi")
+        mapping.join(B(pending_norms), "norm", "left_semi")
         .select("entity_id").distinct()
     )
     affected_ids = _ckpt(
@@ -178,7 +188,7 @@ def incremental_outputs(
 
     entities_out, aliases_out = _splice_entities(
         old_entities, old_aliases, mentions, triples_raw, mapping,
-        affected_ids, ckpts)
+        affected_ids, ckpts, hint_broadcast=hint_broadcast)
 
     # ---- triples: affected group keys -----------------------------------
     labels_stable = mapping.select(
@@ -191,26 +201,27 @@ def incremental_outputs(
     # the surviving id, so both the old and the rewritten group (and
     # any pre-existing group at the surviving id) recompute
     keys_b_old = (
-        old_triples.join(F.broadcast(prior_ids),
+        old_triples.join(B(prior_ids),
                          old_triples.obj == prior_ids.entity_id,
                          "left_semi")
         .select("subj", "pred", "obj").distinct()
     )
     absorbed_to_new = (
-        prior_map.join(F.broadcast(changed_norms), "norm", "left_semi")
+        prior_map.join(B(changed_norms), "norm", "left_semi")
         .join(mapping.withColumnsRenamed(
             {"entity_id": "new_id"}), "norm")
         .select(F.col("entity_id").alias("obj"), "new_id").distinct()
     )
     keys_b_new = (
-        keys_b_old.join(F.broadcast(absorbed_to_new), "obj")
+        keys_b_old.join(B(absorbed_to_new), "obj")
         .select("subj", "pred", F.col("new_id").alias("obj")).distinct()
     )
     drop_keys = _ckpt(
         keys_a.union(keys_b_old).union(keys_b_new).distinct(), ckpts)
 
     triples_out = _splice_triples(
-        old_triples, triples_raw, mapping, drop_keys)
+        old_triples, triples_raw, mapping, drop_keys,
+        hint_broadcast=hint_broadcast)
     outputs = {
         "triples": triples_out,
         "entities": entities_out,
@@ -227,23 +238,25 @@ def _splice_entities(
     mapping: DataFrame,
     affected_ids: DataFrame,
     ckpts: list | None = None,
+    hint_broadcast: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Recompute the entity/alias groups of ``affected_ids`` from the
     current mention/raw-triple state (column-pruned scans with broadcast
     semi-joins) and splice them into the prior snapshots. An affected id
     with no surviving members simply vanishes (dropped, nothing
     recomputed)."""
+    B = _hint(hint_broadcast)
     members = _ckpt(mapping.join(
-        F.broadcast(affected_ids), "entity_id", "left_semi"), ckpts)
+        B(affected_ids), "entity_id", "left_semi"), ckpts)
     labels_aff = members.select(
         "norm", F.col("entity_id").alias("component"))
     aff_mentions = mentions.join(
-        F.broadcast(members.select("norm")), "norm", "left_semi")
+        B(members.select("norm")), "norm", "left_semi")
     ents_new, aliases_new = entity_tables(aff_mentions, labels_aff)
     tr_linkable_aff = (
         triples_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
         .withColumn("_n", norm_col("obj"))
-        .join(F.broadcast(members.select(F.col("norm").alias("_n"))),
+        .join(B(members.select(F.col("norm").alias("_n"))),
               "_n", "left_semi").drop("_n")
     )
     n_m = entity_mention_counts(tr_linkable_aff, labels_aff)
@@ -251,12 +264,12 @@ def _splice_entities(
         "n_mentions", F.coalesce("n_mentions", F.lit(0)))
     entities_out = (
         old_entities
-        .join(F.broadcast(affected_ids), "entity_id", "left_anti")
+        .join(B(affected_ids), "entity_id", "left_anti")
         .unionByName(entities_aff)
     )
     aliases_out = (
         old_aliases
-        .join(F.broadcast(affected_ids), "entity_id", "left_anti")
+        .join(B(affected_ids), "entity_id", "left_anti")
         .unionByName(aliases_new)
     )
     return entities_out, aliases_out
@@ -267,6 +280,7 @@ def _splice_triples(
     triples_raw: DataFrame,
     mapping: DataFrame,
     drop_keys: DataFrame,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Re-aggregate exactly the ``drop_keys`` canonical groups from a
     candidate slice of ``triples_raw`` (rows that could contribute to an
@@ -274,32 +288,33 @@ def _splice_triples(
     obj, linkable rows whose norm is the key's obj or maps to it) and
     splice them into the prior snapshot. A dropped group with no
     surviving contributor rows vanishes."""
+    B = _hint(hint_broadcast)
     labels_stable = mapping.select(
         "norm", F.col("entity_id").alias("component"))
     xs = drop_keys.select("obj").distinct()
     member_norms_x = (
-        mapping.join(F.broadcast(xs),
+        mapping.join(B(xs),
                      mapping.entity_id == xs.obj, "left_semi")
         .select("norm")
     )
     cand_nl = triples_raw.filter(
         ~F.col("kind").isin(*LINKABLE_KINDS)
-    ).join(F.broadcast(xs), "obj", "left_semi")
+    ).join(B(xs), "obj", "left_semi")
     probe_norms = member_norms_x.union(
         xs.select(F.col("obj").alias("norm"))).distinct()
     cand_l = (
         triples_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
         .withColumn("_n", norm_col("obj"))
-        .join(F.broadcast(probe_norms.withColumnRenamed("norm", "_n")),
+        .join(B(probe_norms.withColumnRenamed("norm", "_n")),
               "_n", "left_semi").drop("_n")
     )
     recomputed = (
         canonical_triples(cand_nl.unionByName(cand_l), labels_stable)
-        .join(F.broadcast(drop_keys), ["subj", "pred", "obj"],
+        .join(B(drop_keys), ["subj", "pred", "obj"],
               "left_semi")
     )
     return (
-        old_triples.join(F.broadcast(drop_keys),
+        old_triples.join(B(drop_keys),
                          ["subj", "pred", "obj"], "left_anti")
         .unionByName(recomputed)
     )
@@ -315,6 +330,7 @@ def retraction_outputs(
     mapping: DataFrame,
     prior_map: DataFrame,
     ckpts: list | None = None,
+    hint_broadcast: bool = True,
 ) -> tuple[dict[str, DataFrame], DataFrame, DataFrame]:
     """Retraction analog of ``incremental_outputs``: recompute only the
     output groups a file REMOVAL touches. Inputs are the prior outputs,
@@ -336,6 +352,7 @@ def retraction_outputs(
     Exact-equal to a full rebuild over the remaining corpus with the
     same ledger — pinned by tests/test_retraction.py and the
     ``retract_kg_triples`` oracle."""
+    B = _hint(hint_broadcast)
     affected_norms = (
         removed_raw.filter(F.col("kind").isin(*LINKABLE_KINDS))
         .select(norm_col("obj").alias("norm"))
@@ -346,12 +363,12 @@ def retraction_outputs(
             {"entity_id": "new_id"}), "norm")
         .filter(F.col("entity_id") != F.col("new_id")), ckpts)
     old_ids = _ckpt(
-        prior_map.join(F.broadcast(affected_norms), "norm", "left_semi")
+        prior_map.join(B(affected_norms), "norm", "left_semi")
         .select("entity_id")
         .union(moved.select("entity_id"))
         .distinct(), ckpts)
     new_ids = (
-        mapping.join(F.broadcast(affected_norms), "norm", "left_semi")
+        mapping.join(B(affected_norms), "norm", "left_semi")
         .select("entity_id")
         .union(moved.select(F.col("new_id").alias("entity_id")))
         .distinct()
@@ -360,7 +377,7 @@ def retraction_outputs(
 
     entities_out, aliases_out = _splice_entities(
         old_entities, old_aliases, mentions, remaining_raw, mapping,
-        affected_ids, ckpts)
+        affected_ids, ckpts, hint_broadcast=hint_broadcast)
 
     prior_stable = prior_map.select(
         "norm", F.col("entity_id").alias("component"))
@@ -369,7 +386,7 @@ def retraction_outputs(
         .select("subj", "pred", "obj").distinct()
     )
     keys_b_old = (
-        old_triples.join(F.broadcast(old_ids),
+        old_triples.join(B(old_ids),
                          old_triples.obj == old_ids.entity_id,
                          "left_semi")
         .select("subj", "pred", "obj").distinct()
@@ -377,13 +394,14 @@ def retraction_outputs(
     old_to_new = moved.select(
         F.col("entity_id").alias("obj"), "new_id").distinct()
     keys_b_new = (
-        keys_b_old.join(F.broadcast(old_to_new), "obj")
+        keys_b_old.join(B(old_to_new), "obj")
         .select("subj", "pred", F.col("new_id").alias("obj")).distinct()
     )
     drop_keys = _ckpt(
         keys_a.union(keys_b_old).union(keys_b_new).distinct(), ckpts)
     triples_out = _splice_triples(
-        old_triples, remaining_raw, mapping, drop_keys)
+        old_triples, remaining_raw, mapping, drop_keys,
+        hint_broadcast=hint_broadcast)
     outputs = {
         "triples": triples_out,
         "entities": entities_out,

@@ -678,12 +678,13 @@ class Pipeline:
         if n_pending == 0 and n_changed == 0:
             self._log("materialize", skipped=True, incremental=True)
             return False
-        new_raw = triples_raw.join(F.broadcast(pending), keys, "left_semi")
+        B = self._batch_broadcast(max(n_pending, n_changed))
+        new_raw = triples_raw.join(B(pending), keys, "left_semi")
 
         outputs, affected_ids, drop_keys = materialize.incremental_outputs(
             io.read("triples"), io.read("entities"), io.read("aliases"),
             mentions, triples_raw, new_raw, mapping, prior_map, changed,
-            ckpts=self._ckpts)
+            ckpts=self._ckpts, hint_broadcast=B is F.broadcast)
 
         # overlapped writes (guide §2.6) — every input is a committed
         # table, a broadcast of a checkpointed scope frame, or the
@@ -713,6 +714,21 @@ class Pipeline:
                   affected_triple_groups=drop_keys.count(),
                   rows=rows, wall_s=round(time.time() - t0, 3))
         return True
+
+    # ---- broadcast-size gate (round-5 verdict #2) ---------------------------
+    def _batch_broadcast(self, n_rows: int):
+        """Returns the broadcast HINT to apply to batch-scope frames of an
+        incremental/retract run: F.broadcast below the configured row
+        limit, identity above it (the hints are dropped and AQE picks the
+        join strategy from real sizes — a bulk backlog or mass takedown
+        degrades to shuffle joins instead of OOMing). The decision is
+        logged, never silent."""
+        if n_rows > self.cfg.broadcast_row_limit:
+            self._log("broadcast_gate", batch_rows=n_rows,
+                      limit=self.cfg.broadcast_row_limit,
+                      hints_dropped=True)
+            return lambda df: df
+        return F.broadcast
 
     # ---- incremental retraction (O(affected) takedown) ----------------------
 
@@ -793,13 +809,14 @@ class Pipeline:
         if n_removed == 0:
             self._log("retract", skipped=True)
             return {"removed_files": 0}
+        B = self._batch_broadcast(n_removed)
 
         triples_raw_all = io.read("triples_raw")
         removed_raw = triples_raw_all.join(
-            F.broadcast(removed), keys, "left_semi"
+            B(removed), keys, "left_semi"
         ).transform(self._ck)
         remaining_raw = triples_raw_all.join(
-            F.broadcast(removed), keys, "left_anti")
+            B(removed), keys, "left_anti")
 
         # ---- mentions: recompute the affected norms' rows ----------------
         affected_norms = (
@@ -811,13 +828,13 @@ class Pipeline:
         remaining_slice = (
             remaining_raw.filter(F.col("kind").isin(*normalize.LINKABLE_KINDS))
             .withColumn("_n", normalize.norm_col("obj"))
-            .join(F.broadcast(affected_norms.withColumnRenamed(
+            .join(B(affected_norms.withColumnRenamed(
                 "norm", "_n")), "_n", "left_semi").drop("_n")
         )
         recomputed_m = normalize.normalize_mentions(remaining_slice)
         mentions_out = (
             io.read("mentions")
-            .join(F.broadcast(affected_norms), "norm", "left_anti")
+            .join(B(affected_norms), "norm", "left_anti")
             .unionByName(recomputed_m)
         )
         dead = (
@@ -832,13 +849,13 @@ class Pipeline:
         old_labels = io.read("labels")
         edges_out = (
             io.read("edges")
-            .join(F.broadcast(dead.withColumnRenamed("norm", "norm_a")),
+            .join(B(dead.withColumnRenamed("norm", "norm_a")),
                   "norm_a", "left_anti")
-            .join(F.broadcast(dead.withColumnRenamed("norm", "norm_b")),
+            .join(B(dead.withColumnRenamed("norm", "norm_b")),
                   "norm_b", "left_anti")
         )
         touched = (
-            old_labels.join(F.broadcast(dead), "norm", "left_semi")
+            old_labels.join(B(dead), "norm", "left_semi")
             .select("component").distinct().transform(self._ck)
         )
         n_touched = touched.count()
@@ -846,12 +863,12 @@ class Pipeline:
             edges_out.join(
                 old_labels.select(F.col("norm").alias("norm_a"),
                                   "component"), "norm_a")
-            .join(F.broadcast(touched), "component", "left_semi")
+            .join(B(touched), "component", "left_semi")
             .select("norm_a", "norm_b")
         )
         relabeled = cc.connected_components(sub, cfg.cc_max_iter)
         labels_out = (
-            old_labels.join(F.broadcast(touched), "component", "left_anti")
+            old_labels.join(B(touched), "component", "left_anti")
             .unionByName(relabeled)
             .transform(self._ck)
         )
@@ -860,7 +877,7 @@ class Pipeline:
         io.compact("mentions", mentions_out, meta=meta)
         io.compact("link_signatures",
                    io.read("link_signatures").join(
-                       F.broadcast(dead), "norm", "left_anti"),
+                       B(dead), "norm", "left_anti"),
                    meta=meta)
         io.compact("edges", edges_out, meta=meta)
         io.write(labels_out, "labels", meta={
@@ -888,7 +905,7 @@ class Pipeline:
         outputs, affected_ids, drop_keys = materialize.retraction_outputs(
             io.read("triples"), io.read("entities"), io.read("aliases"),
             mentions_new, remaining_raw, removed_raw, mapping, prior_map,
-            ckpts=self._ckpts)
+            ckpts=self._ckpts, hint_broadcast=B is F.broadcast)
         for tbl, pb in (("triples", ["pred"]), ("entities", None),
                         ("aliases", ["lang"])):
             io.write(outputs[tbl], tbl, partition_by=pb, meta=meta)
@@ -906,11 +923,11 @@ class Pipeline:
         if io.exists("quarantine"):
             io.compact("quarantine",
                        io.read("quarantine").join(
-                           F.broadcast(removed), keys, "left_anti"),
+                           B(removed), keys, "left_anti"),
                        meta=meta)
         if io.exists("source_repos"):
             io.write(io.read("source_repos").join(
-                F.broadcast(removed), keys, "left_anti"),
+                B(removed), keys, "left_anti"),
                 "source_repos", meta=meta)
         self._run_stage("triples_raw", {"triples_raw": remaining_raw},
                         force=True)
@@ -918,7 +935,7 @@ class Pipeline:
             if io.exists(ledger):
                 io.compact(ledger,
                            io.read(ledger).distinct().join(
-                               F.broadcast(removed), keys, "left_anti"),
+                               B(removed), keys, "left_anti"),
                            meta=meta)
         stats = {
             "removed_files": n_removed,
@@ -998,6 +1015,7 @@ class Pipeline:
             pending = done
         pending = pending.transform(self._ck)
         n_pending = pending.count()
+        B = self._batch_broadcast(n_pending)
         unreflected = self._unreflected_edge_segments()
         if n_pending == 0 and not unreflected:
             for stage in ("mentions", "edges", "labels"):
@@ -1007,16 +1025,16 @@ class Pipeline:
         t0 = time.time()
         old_mentions = io.read("mentions")
         pending_triples = io.read("triples_raw").join(
-            F.broadcast(pending), keys, "left_semi")
+            B(pending), keys, "left_semi")
         new_m = normalize.normalize_mentions(pending_triples)
         # which of the batch's mention rows are genuinely new: semi-join
         # the dictionary against the (small, broadcast) batch, then
         # anti-join the batch against that overlap — both joins broadcast
         # the small side, so the dictionary is scanned, not shuffled
         overlap = old_mentions.join(
-            F.broadcast(new_m), ["surface", "lang", "norm"], "left_semi")
+            B(new_m), ["surface", "lang", "norm"], "left_semi")
         new_rows = new_m.join(
-            F.broadcast(overlap), ["surface", "lang", "norm"], "left_anti"
+            B(overlap), ["surface", "lang", "norm"], "left_anti"
         ).transform(self._ck)
         n_new_mentions = new_rows.count()
         self._log("mentions", skipped=False, incremental=True,
@@ -1029,9 +1047,9 @@ class Pipeline:
         # of pending files absent from it (replay-safe on retry)
         pending_norms = new_m.select("norm").distinct()
         norm_overlap = store_sig.select("norm").join(
-            F.broadcast(pending_norms), "norm", "left_semi").distinct()
+            B(pending_norms), "norm", "left_semi").distinct()
         new_norm_rows = pending_norms.join(
-            F.broadcast(norm_overlap), "norm", "left_anti")
+            B(norm_overlap), "norm", "left_anti")
         new_sig = blocking.minhash_signature_df(
             new_norm_rows, cfg.minhash_hashes, cfg.extractor_seed,
             cfg.shingle_size).transform(self._ck)
@@ -1042,7 +1060,7 @@ class Pipeline:
             store_sig, cfg.minhash_hashes, cfg.lsh_bands)
         new_band_keys = new_blocks.select("band_key").distinct()
         touched_store = store_blocks.join(
-            F.broadcast(new_band_keys), "band_key", "left_semi")
+            B(new_band_keys), "band_key", "left_semi")
         combined = (
             touched_store.select("band_key")
             .union(new_blocks.select("band_key"))
@@ -1057,9 +1075,9 @@ class Pipeline:
         ok_bands = combined.filter(
             F.col("_bs") <= cfg.max_block_size).select("band_key")
         new_blocks_ok = new_blocks.join(
-            F.broadcast(ok_bands), "band_key", "left_semi")
+            B(ok_bands), "band_key", "left_semi")
         touched_ok = touched_store.join(
-            F.broadcast(ok_bands), "band_key", "left_semi")
+            B(ok_bands), "band_key", "left_semi")
         pairs_nn = blocking.candidate_pairs(
             new_blocks_ok, max_block_size=None)
         pairs_no = (
