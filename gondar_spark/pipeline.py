@@ -449,7 +449,8 @@ class Pipeline:
         # LSH index incremental runs probe — band keys re-derive in-row
         # from the h-columns (no shuffle), and the grams column feeds the
         # verify join, so a later ingest never re-blocks the corpus.
-        edges_probe = ("edges", "link_signatures") if durable else ("edges",)
+        edges_probe = (("edges", "link_signatures", "link_bands")
+                       if durable else ("edges",))
         if force or not all(self.io.exists(t) for t in edges_probe):
             # sig feeds band keys + both sides of the scoring join —
             # persist so the md5 minhash computation runs once; released
@@ -482,13 +483,23 @@ class Pipeline:
             pairs = blocking.candidate_pairs(blocks_ok, max_block_size=None)
             from .operators.scoring import score_pairs
             tables = {"edges": score_pairs(pairs, sig, cfg.link_threshold)}
+            pb = {}
             if durable:
                 # the committed LSH index later ingests probe — one-shot
-                # builds skip the write (durability knob above)
-                tables["link_signatures"] = sig
+                # builds skip the writes (durability knob above). BOTH
+                # store tables are PARTITIONED by a probe-key prefix
+                # (round-5 verdict #1): link_signatures by md5(norm)
+                # prefix, the band-membership table by band-key prefix,
+                # so an incremental probe reads only the partitions its
+                # batch can touch instead of scanning the corpus store.
+                tables["link_signatures"] = sig.withColumn(
+                    "_np", blocking.norm_prefix())
+                tables["link_bands"] = blocks.withColumn(
+                    "_bp", blocking.band_prefix())
+                pb = {"link_signatures": ["_np"], "link_bands": ["_bp"]}
             try:
                 executed["edges"] = self._run_stage(
-                    "edges", tables, force=True)
+                    "edges", tables, partition_by=pb, force=True)
                 n_mega = sizes.filter(
                     F.col("_bs") > cfg.max_block_size).count()
                 if n_mega:
@@ -715,6 +726,24 @@ class Pipeline:
                   rows=rows, wall_s=round(time.time() - t0, 3))
         return True
 
+    @staticmethod
+    def _overlap(tasks) -> None:
+        """Run independent write/compact thunks concurrently (guide §2.6:
+        Spark happily runs several jobs at once; actions are sequential
+        only because the driver calls them sequentially). Callers group
+        tasks so that nothing in one group depends on another member's
+        committed result."""
+        tasks = list(tasks)
+        if len(tasks) <= 1:
+            for t in tasks:
+                t()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(tasks))) as ex:
+            for f in [ex.submit(t) for t in tasks]:
+                f.result()
+
     # ---- broadcast-size gate (round-5 verdict #2) ---------------------------
     def _batch_broadcast(self, n_rows: int):
         """Returns the broadcast HINT to apply to batch-scope frames of an
@@ -874,12 +903,24 @@ class Pipeline:
         )
 
         meta = {"stage": "retract", "run_id": cfg.run_id}
-        io.compact("mentions", mentions_out, meta=meta)
-        io.compact("link_signatures",
-                   io.read("link_signatures").join(
-                       B(dead), "norm", "left_anti"),
-                   meta=meta)
-        io.compact("edges", edges_out, meta=meta)
+        # the four link-state rewrites are independent (each compact's
+        # plan reads only its OWN table + the checkpointed dead set) —
+        # overlap them (guide §2.6); labels follows because its commit
+        # manifest records the post-compact edge segment list
+        link_rewrites = [
+            lambda: io.compact("mentions", mentions_out, meta=meta),
+            lambda: io.compact(
+                "link_signatures",
+                io.read("link_signatures").join(B(dead), "norm", "left_anti"),
+                meta=meta, partition_by=["_np"]),
+            lambda: io.compact("edges", edges_out, meta=meta),
+        ]
+        if io.exists("link_bands"):
+            link_rewrites.append(lambda: io.compact(
+                "link_bands",
+                io.read("link_bands").join(B(dead), "norm", "left_anti"),
+                meta=meta, partition_by=["_bp"]))
+        self._overlap(link_rewrites)
         io.write(labels_out, "labels", meta={
             **meta, "edge_segments": io.segments("edges")})
 
@@ -920,23 +961,27 @@ class Pipeline:
         ]
 
         # ---- prune the raw stream + per-file tables + ledgers LAST -------
+        per_file = []
         if io.exists("quarantine"):
-            io.compact("quarantine",
-                       io.read("quarantine").join(
-                           B(removed), keys, "left_anti"),
-                       meta=meta)
+            per_file.append(lambda: io.compact(
+                "quarantine",
+                io.read("quarantine").join(B(removed), keys, "left_anti"),
+                meta=meta))
         if io.exists("source_repos"):
-            io.write(io.read("source_repos").join(
-                B(removed), keys, "left_anti"),
-                "source_repos", meta=meta)
+            per_file.append(lambda: io.write(
+                io.read("source_repos").join(B(removed), keys, "left_anti"),
+                "source_repos", meta=meta))
+        self._overlap(per_file)
         self._run_stage("triples_raw", {"triples_raw": remaining_raw},
                         force=True)
-        for ledger in ("extract_done", "link_done", "mat_done"):
-            if io.exists(ledger):
-                io.compact(ledger,
-                           io.read(ledger).distinct().join(
-                               B(removed), keys, "left_anti"),
-                           meta=meta)
+        self._overlap([
+            (lambda lg: lambda: io.compact(
+                lg, io.read(lg).distinct().join(B(removed), keys,
+                                                "left_anti"),
+                meta=meta))(ledger)
+            for ledger in ("extract_done", "link_done", "mat_done")
+            if io.exists(ledger)
+        ])
         stats = {
             "removed_files": n_removed,
             "dead_norms": n_dead,
@@ -951,7 +996,8 @@ class Pipeline:
         return stats
 
     # ---- incremental linking (O(new) ingest) --------------------------------
-    _LINK_TABLES = ("mentions", "edges", "labels", "link_signatures")
+    _LINK_TABLES = ("mentions", "edges", "labels", "link_signatures",
+                    "link_bands")
 
     def _can_link_incremental(self) -> bool:
         """The probe path needs the committed link state; lang-aware
@@ -1044,9 +1090,19 @@ class Pipeline:
         t1 = time.time()
         store_sig = io.read("link_signatures")
         # the store is the source of truth for "already blocked": norms
-        # of pending files absent from it (replay-safe on retry)
-        pending_norms = new_m.select("norm").distinct()
-        norm_overlap = store_sig.select("norm").join(
+        # of pending files absent from it (replay-safe on retry). The
+        # store tables are prefix-PARTITIONED (see the edges stage):
+        # collecting the batch's distinct prefixes (bounded — <= 256
+        # norm prefixes, <= bands*16 band prefixes) lets every store
+        # read below prune to the partitions the batch can touch, so
+        # probe scan bytes track the batch, not the corpus (round-5
+        # verdict #1; plan-asserted in tests/test_streaming_and_plans).
+        pending_norms = new_m.select("norm").distinct().transform(self._ck)
+        np_list = [r["_p"] for r in pending_norms.select(
+            blocking.norm_prefix().alias("_p")).distinct().collect()]
+        sig_slice = (store_sig.filter(F.col("_np").isin(np_list))
+                     if np_list else store_sig.filter(F.lit(False)))
+        norm_overlap = sig_slice.select("norm").join(
             B(pending_norms), "norm", "left_semi").distinct()
         new_norm_rows = pending_norms.join(
             B(norm_overlap), "norm", "left_anti")
@@ -1056,11 +1112,15 @@ class Pipeline:
         n_new_norms = new_sig.count()
         new_blocks = blocking.band_keys_df(
             new_sig, cfg.minhash_hashes, cfg.lsh_bands)
-        store_blocks = blocking.band_keys_df(
-            store_sig, cfg.minhash_hashes, cfg.lsh_bands)
+        bp_list = [r["_p"] for r in new_blocks.select(
+            blocking.band_prefix().alias("_p")).distinct().collect()]
+        store_bands = io.read("link_bands")
+        bands_slice = (store_bands.filter(F.col("_bp").isin(bp_list))
+                       if bp_list else store_bands.filter(F.lit(False)))
         new_band_keys = new_blocks.select("band_key").distinct()
-        touched_store = store_blocks.join(
-            B(new_band_keys), "band_key", "left_semi")
+        touched_store = bands_slice.join(
+            B(new_band_keys), "band_key", "left_semi"
+        ).select("norm", "band_key")
         combined = (
             touched_store.select("band_key")
             .union(new_blocks.select("band_key"))
@@ -1090,8 +1150,18 @@ class Pipeline:
         )
         pairs = pairs_nn.unionByName(pairs_no).distinct()
         from .operators.scoring import score_pairs
-        sig_grams = store_sig.select("norm", "grams").unionByName(
-            new_sig.select("norm", "grams"))
+        # grams for the verify join: only the store norms that actually
+        # appear in a touched band (batch-proportional) — fetched through
+        # the same prefix-pruned store read, never a full grams scan
+        needed_store = touched_ok.select("norm").distinct().transform(
+            self._ck)
+        tp_list = [r["_p"] for r in needed_store.select(
+            blocking.norm_prefix().alias("_p")).distinct().collect()]
+        grams_slice = (store_sig.filter(F.col("_np").isin(tp_list))
+                       if tp_list else store_sig.filter(F.lit(False)))
+        sig_grams = grams_slice.select("norm", "grams").join(
+            B(needed_store), "norm", "left_semi"
+        ).unionByName(new_sig.select("norm", "grams"))
         # anti-join against committed edges: a retry after a crash
         # between the edges append and the link_done advance regenerates
         # the same pairs — they must not stack
@@ -1137,11 +1207,16 @@ class Pipeline:
         # remaining appends; link_done advances LAST so any crash above
         # replays this batch instead of losing it
         if n_new_norms:
-            io.append(new_sig, "link_signatures", meta=meta)
+            io.append(new_sig.withColumn("_np", blocking.norm_prefix()),
+                      "link_signatures", meta=meta, partition_by=["_np"])
+            io.append(new_blocks.withColumn("_bp", blocking.band_prefix()),
+                      "link_bands", meta=meta, partition_by=["_bp"])
         if n_new_mentions:
             io.append(new_rows, "mentions", meta=meta)
         io.append(pending, "link_done", meta=meta)
-        for name in ("mentions", "link_signatures", "edges", "link_done"):
+        store_pb = {"link_signatures": ["_np"], "link_bands": ["_bp"]}
+        for name in ("mentions", "link_signatures", "link_bands", "edges",
+                     "link_done"):
             if len(io.segments(name)) >= self.COMPACT_AFTER:
                 if name == "link_done":
                     io.compact(name, io.read(name).distinct(),
@@ -1149,7 +1224,8 @@ class Pipeline:
                                      "run_id": cfg.run_id})
                 else:
                     io.compact(name, meta={"stage": "ledger_compact",
-                                           "run_id": cfg.run_id})
+                                           "run_id": cfg.run_id},
+                               partition_by=store_pb.get(name))
                 self._log("ledger_compact", table=name)
         return {"mentions": n_new_mentions > 0,
                 "edges": n_new_edges > 0,

@@ -213,15 +213,16 @@ class TableIO:
     # is always empty (the catalog owns file compaction).
     _SEG_SEP = "__seg_"
 
-    def append(self, df: DataFrame, name: str, meta: dict | None = None) -> dict:
+    def append(self, df: DataFrame, name: str, meta: dict | None = None,
+               partition_by: list[str] | None = None) -> dict:
         if self.use_iceberg:
             df.writeTo(self._ident(name)).append()
             return {"table": name, "ts": time.time(), "appended": True,
                     "meta": meta or {}}
         if not self.exists(name):
-            return self.write(df, name, meta=meta)
+            return self.write(df, name, meta=meta, partition_by=partition_by)
         seg = f"{name}{self._SEG_SEP}{uuid.uuid4().hex[:12]}"
-        return self.write(df, seg, meta=meta)
+        return self.write(df, seg, meta=meta, partition_by=partition_by)
 
     def _raw_segments(self, name: str) -> list[str]:
         """Committed segment dirs on disk, WITHOUT the superseded filter
@@ -246,7 +247,8 @@ class TableIO:
         return [s for s in self._raw_segments(name) if s not in dead]
 
     def compact(self, name: str, df: DataFrame | None = None,
-                meta: dict | None = None) -> dict | None:
+                meta: dict | None = None,
+                partition_by: list[str] | None = None) -> dict | None:
         """Fold segments into one base snapshot. ``df`` overrides the
         compacted content (callers use this to dedup or prune while
         compacting); default is the full union read. No-op when there is
@@ -260,7 +262,7 @@ class TableIO:
             df = self.read(name)
         # the write plan reads the CURRENT base + segments while staging to
         # a tmp dir; the atomic swap happens only after the read finished
-        commit = self.write(df, name, meta=meta)
+        commit = self.write(df, name, meta=meta, partition_by=partition_by)
         for seg in segs:
             self.drop(seg)
         return commit

@@ -419,3 +419,42 @@ def test_stateful_minhash_pairs_state_ttl_drops_idle_bands(spark, tmp_path):
 
     assert (1, 9) in drive(None, "t_mh_ttl_off")
     assert (1, 9) not in drive(1, "t_mh_ttl_on")
+
+
+def test_link_store_prefix_pruning(spark, tmp_path):
+    """Round-5 verdict #1: the committed link state is PARTITIONED by a
+    probe-key prefix, and a prefix-filtered read prunes at the partition
+    level (PartitionFilters in the scan, like the IVF cell index) — the
+    layout the incremental probe's isin(prefixes) reads rely on."""
+    from pyspark.sql import functions as F
+
+    from gondar_spark.config import JobConfig
+    from gondar_spark.operators import blocking
+    from gondar_spark.pipeline import Pipeline
+    from gondar_spark.plans.inspect import explain_str
+    from gondar_spark.synth import SynthConfig, generate_source_df
+
+    pipe = Pipeline(spark, JobConfig(
+        warehouse=str(tmp_path / "wh"), run_id="p",
+        durable_link_state=True))
+    pipe.run(source_df=generate_source_df(
+        spark, SynthConfig(n_files=40), partitions=4))
+
+    bands = pipe.io.read("link_bands")
+    some_bp = bands.select("_bp").distinct().limit(1).collect()[0][0]
+    pruned = bands.filter(F.col("_bp").isin([some_bp]))
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan and "_bp" in plan, plan
+
+    sig = pipe.io.read("link_signatures")
+    some_np = sig.select("_np").distinct().limit(1).collect()[0][0]
+    plan2 = explain_str(sig.filter(F.col("_np").isin([some_np])))
+    assert "PartitionFilters" in plan2 and "_np" in plan2, plan2
+
+    # membership matches the signature table: one band row per
+    # (norm, band) with keys derived from the same expressions
+    n_norms = sig.select("norm").distinct().count()
+    assert bands.count() == n_norms * 8
+    assert bands.select("norm").distinct().count() == n_norms
+    # prefix values carry the 'p' type-inference guard
+    assert some_bp.startswith("p") and some_np.startswith("p")

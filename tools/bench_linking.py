@@ -95,7 +95,8 @@ def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
         for member, off in ((0, 0), (1, 4)):
             _family_files(spark, 0, n_families, member, off, "seed") \
                 .write.mode("append").parquet(corpus)
-        pipe = Pipeline(spark, JobConfig(warehouse=wh, run_id="seed"))
+        pipe = Pipeline(spark, JobConfig(warehouse=wh, run_id="seed",
+                                     durable_link_state=True))
         t0 = time.time()
         pipe.run(source_path=corpus)
         seed_wall = round(time.time() - t0, 3)
@@ -109,7 +110,8 @@ def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
                       1, 4, "newfam").write.mode("append").parquet(corpus)
         _family_files(spark, 0, batch_families, 2, 2, "probe") \
             .write.mode("append").parquet(corpus)
-        pipe.cfg = JobConfig(warehouse=wh, run_id="ingest")
+        pipe.cfg = JobConfig(warehouse=wh, run_id="ingest",
+                             durable_link_state=True)
         t0 = time.time()
         pipe.run(source_path=corpus, incremental=True)
         ingest_wall = round(time.time() - t0, 3)
@@ -129,13 +131,15 @@ def ingest_at_scale(spark, n_families: int, batch_families: int) -> dict:
         remaining = spark.read.parquet(corpus).filter(
             ~F.col("path").startswith("src/newfam")
             & ~F.col("path").startswith("src/probe"))
-        pipe.cfg = JobConfig(warehouse=wh, run_id="retract")
+        pipe.cfg = JobConfig(warehouse=wh, run_id="retract",
+                             durable_link_state=True)
         t0 = time.time()
         rstats = pipe.retract(source_df=remaining)
         retract_wall = round(time.time() - t0, 3)
 
         # the avoided cost: full relink of the grown corpus
-        pipe.cfg = JobConfig(warehouse=wh, run_id="relink")
+        pipe.cfg = JobConfig(warehouse=wh, run_id="relink",
+                             durable_link_state=True)
         t0 = time.time()
         pipe.run(source_path=corpus, force=True)
         full_wall = round(time.time() - t0, 3)
