@@ -438,6 +438,54 @@ def build_ivf_index(
      .write.mode("overwrite").parquet(f"{path}/stats"))
 
 
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    k: int | None = None,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Act on the drift gate (round-5 verdict #7): re-train k-means on
+    the ACCUMULATED corpus read back from the cell partitions, rebuild
+    the cell layout, and atomically swap it in (the TableIO aside-swap
+    pattern: the new index is staged completely beside the old one, the
+    swap is two renames, and every instant has a complete index on
+    disk). ``k`` defaults to the constant-cell-size rule (rows // 128,
+    min 16) — the 100 TB design scales cell count with the corpus.
+
+    Deterministic: kmeans_train is md5-seeded with integer-quantized
+    sums, so the rebuilt index is bit-equal to a fresh
+    build_ivf_index over the same rows (pinned by test). The drift
+    history (drift.jsonl) carries over with a rebuild record appended."""
+    import json
+    import os
+    import shutil
+    import time
+    import uuid
+
+    corpus = spark.read.parquet(f"{path}/cells").select(id_col, vec_col)
+    n = corpus.count()
+    if k is None:
+        k = max(16, n // 128)
+    cents = kmeans_train(corpus, k=k, n_iter=n_iter, vec_col=vec_col)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    build_ivf_index(corpus, cents, tmp, id_col=id_col, vec_col=vec_col)
+    drift_log = os.path.join(path, "drift.jsonl")
+    if os.path.exists(drift_log):
+        shutil.copy(drift_log, os.path.join(tmp, "drift.jsonl"))
+    with open(os.path.join(tmp, "drift.jsonl"), "a") as f:
+        f.write(json.dumps({"rebuilt": True, "rows": n, "k": k,
+                            "ts": time.time()}) + "\n")
+    aside = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, aside)
+    os.rename(tmp, path)
+    shutil.rmtree(aside, ignore_errors=True)
+    for sub in ("cells", "centroids", "stats"):
+        spark.catalog.refreshByPath(f"{path}/{sub}")
+    return {"rows": n, "k": k}
+
+
 def append_to_ivf_index(
     df: DataFrame,
     path: str,
@@ -445,6 +493,8 @@ def append_to_ivf_index(
     vec_col: str = "embedding",
     skew_factor: float = 2.0,
     growth_factor: float = 1.0,
+    rebuild_on_drift: bool = False,
+    rebuild_k: int | None = None,
 ) -> dict:
     """Grow a materialized IVF index WITHOUT re-training (round-4 verdict
     ask #3): new vectors are assigned with the COMMITTED centroids and
@@ -463,7 +513,11 @@ def append_to_ivf_index(
         design holds cell SIZE constant by scaling cell count with the
         corpus).
     The report is appended to ``<path>/drift.jsonl`` so index lineage is
-    inspectable; callers re-train + rebuild when ``retrain`` is set."""
+    inspectable. ``rebuild_on_drift=True`` is the gate's ACTION hook
+    (round-5 verdict #7): when ``retrain`` fires, rebuild_ivf_index
+    re-trains on the accumulated corpus and atomically swaps the index
+    (report gains a ``rebuilt`` entry); default off keeps the
+    flag-only behavior for callers that schedule rebuilds themselves."""
     import json
     import os
 
@@ -507,6 +561,9 @@ def append_to_ivf_index(
     )
     with open(os.path.join(path, "drift.jsonl"), "a") as f:
         f.write(json.dumps(report) + "\n")
+    if report["retrain"] and rebuild_on_drift:
+        report["rebuilt"] = rebuild_ivf_index(
+            spark, path, k=rebuild_k, id_col=id_col, vec_col=vec_col)
     return report
 
 

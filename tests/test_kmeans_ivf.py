@@ -290,3 +290,50 @@ def test_ivf_topk_per_probe_indexed_matches_in_memory(spark, tmp_path):
     m = {tuple(r) for r in mem.collect()}
     i = {tuple(r) for r in idx.collect()}
     assert m == i and len(m) == 18
+
+
+def test_ivf_drift_gate_rebuild_swaps_bitequal_index(spark, tmp_path):
+    """Round-5 verdict #7: acting on the drift gate. Append past the
+    growth threshold with rebuild_on_drift -> the index is re-trained on
+    the accumulated corpus and atomically swapped; probes against the
+    rebuilt index are BIT-EQUAL to a fresh build_ivf_index over the
+    union (kmeans_train is deterministic), and the drift history
+    records the rebuild."""
+    import json
+    import os
+
+    from gondar_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    base = _clustered(spark, n=60)
+    extra = _clustered(spark, n=90).filter(F.col("vec_id") >= 60)
+    cents = kmeans_train(base, k=3, n_iter=2)
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, cents, path)
+
+    # growth_factor=0.1: a 50% append trips the gate; the hook rebuilds
+    report = append_to_ivf_index(extra, path, growth_factor=0.1,
+                                 rebuild_on_drift=True, rebuild_k=3)
+    assert report["retrain"] and report["rebuilt"]["k"] == 3
+    assert report["rebuilt"]["rows"] == 90
+    recs = [json.loads(ln) for ln in open(os.path.join(path, "drift.jsonl"))]
+    assert recs[-1]["rebuilt"] is True
+    # no stray tmp/aside dirs after the swap
+    parent = os.path.dirname(path)
+    assert not [d for d in os.listdir(parent)
+                if ".tmp-" in d or ".old-" in d]
+
+    # bit-equality with a fresh one-shot build over the union
+    union = _clustered(spark, n=90)
+    cents2 = kmeans_train(union, k=3, n_iter=3)
+    fresh = str(tmp_path / "fresh")
+    build_ivf_index(union, cents2, fresh)
+    q = [1.0, 0.0, 0.0]
+    a = [r.asDict() for r in
+         ivf_topk_indexed(spark, path, q, k=5, n_probe=2).collect()]
+    b = [r.asDict() for r in
+         ivf_topk_indexed(spark, fresh, q, k=5, n_probe=2).collect()]
+    assert a == b and len(a) == 5
