@@ -1716,9 +1716,9 @@ def _registry() -> list[tuple[str, int, Callable]]:
         ("exact_dedup", 1, q_exact_dedup),
         ("minhash_signatures", 1, q_minhash_signatures),
         ("minhash_lsh_pairs", 1, q_minhash_lsh_pairs),
-        ("ngram_jaccard_pairs", 1, q_ngram_jaccard_pairs),
-        ("simhash_pairs", 1, q_simhash_pairs),
-        ("dedup_clusters", 1, q_dedup_clusters),
+        ("ngram_jaccard_pairs", 6, q_ngram_jaccard_pairs),
+        ("simhash_pairs", 6, q_simhash_pairs),
+        ("dedup_clusters", 6, q_dedup_clusters),
         ("media_features", 1, q_media_features),
         ("cosine_topk", 1, q_cosine_topk),
         ("knn_per_probe", 1, q_knn_per_probe),

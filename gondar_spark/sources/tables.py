@@ -99,6 +99,19 @@ class TableIO:
         final = self._path(name)
         tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
         try:
+            if partition_by:
+                # cluster rows by the partition columns before the
+                # partitioned write (guide §6 / Iceberg's
+                # write.distribution-mode=hash): without this every input
+                # task writes a file into every partition dir it sees —
+                # measured on the prefix-partitioned link store: a small
+                # append from 32 tasks x 256 dirs emitted thousands of
+                # near-empty files and made the ingest SLOWER at higher
+                # parallelism. One shuffle of the written rows, one file
+                # per populated dir (AQE-coalesced).
+                from pyspark.sql import functions as F
+
+                df = df.repartition(*[F.col(c) for c in partition_by])
             w = df.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)

@@ -115,11 +115,6 @@ scan -> chunk -> mapInPandas triple extraction, fresh JVM per point.
 
 Extraction emitted {rb['n_triples']} triples at both sizes (identical —
 partition-count independence).
-
-## Headline query wall-clock
-
-See the driver-recorded BENCH_r*.json (one JSON line from `python
-bench.py` at sf0.1 on local[32]).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # surgical update: replace only the header + scaling section, KEEP the
@@ -127,7 +122,9 @@ bench.py` at sf0.1 on local[32]).
     # "## Headline query wall-clock" in the existing file
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     tail = ""
-    marker = "## Methodology"
+    # first curated section AFTER the scaling table (the file has grown
+    # campaign sections between the table and "## Methodology")
+    marker = "## Incremental-run cost vs ledger growth (round 4)"
     if os.path.exists(path):
         cur = open(path).read()
         if marker in cur:
