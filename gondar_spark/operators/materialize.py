@@ -1,8 +1,11 @@
 """B11/B13: canonical triple table + entity/alias dictionaries.
 
 Outputs (partitioned, per /root/repo/BASELINE.json:6):
-  * triples   — distinct (subj, pred, obj) with first-provenance, subjects
-                and linkable objects rewritten to canonical entity ids;
+  * triples   — distinct (subj, pred, obj) with first-provenance,
+                linkable OBJECTS rewritten to canonical entity ids
+                (subjects are file identities and stay verbatim — the
+                incremental/retraction splice scope derivation depends
+                on this, see incremental_outputs);
   * entities  — (entity_id, canonical_form, n_mentions, n_aliases);
   * aliases   — (entity_id, alias, lang).
 
@@ -199,7 +202,12 @@ def incremental_outputs(
     )
     # groups whose obj is an absorbed prior id: member rows re-key to
     # the surviving id, so both the old and the rewritten group (and
-    # any pre-existing group at the surviving id) recompute
+    # any pre-existing group at the surviving id) recompute.
+    # INVARIANT (round-5 advice): this affected-group scope is keyed and
+    # re-keyed on obj ONLY because canonical_triples canonicalizes only
+    # linkable OBJECTS; canonicalizing subj too would silently break the
+    # splice — extend the scope derivation symmetrically if that ever
+    # changes
     keys_b_old = (
         old_triples.join(B(prior_ids),
                          old_triples.obj == prior_ids.entity_id,

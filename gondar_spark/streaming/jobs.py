@@ -97,7 +97,14 @@ def run_streaming_kg_ingest(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.write.mode("append").parquet(corpus_dir)
+        # IDEMPOTENT corpus append (round-5 advice): foreachBatch is
+        # at-least-once, and a blind mode("append") would permanently
+        # duplicate a replayed batch's rows in the corpus (a later force
+        # rebuild or retract would double-extract them). A deterministic
+        # per-batch subdirectory overwritten in place makes the replay a
+        # no-op: same batch id -> same path -> same content.
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{corpus_dir}/batch_id={batch_id}"))
         pipe = Pipeline(
             batch_df.sparkSession,
             JobConfig(warehouse=warehouse, run_id=f"stream-{batch_id}"),
@@ -247,12 +254,17 @@ def stateful_minhash_pairs(
             state.remove()
             return
         if state.exists:
-            ids, shs = state.get
-            ids = list(ids)
-            sets = [set(s) for s in shs]
+            got = state.get
+            ids = list(got[0])
+            sets = [set(s) for s in got[1]]
+            refused = set(got[2] or [])
         else:
-            ids, sets = [], []
-        known = set(ids)
+            ids, sets, refused = [], [], set()
+        # refused ids count as KNOWN (round-5 advice): an at-least-once
+        # re-delivery of a cap-refused doc must not re-emit its verify
+        # pairs or a duplicate refusal sentinel — the sentinel-based
+        # dropped-pair exposure count stays exact
+        known = set(ids) | refused
         out = {"id_a": [], "id_b": [], "jaccard": [], "capped": []}
         new = []
         for pdf in pdfs:
@@ -282,12 +294,14 @@ def stateful_minhash_pairs(
             else:
                 # admission refused: the doc verified against the frozen
                 # store but will never pair with LATER arrivals in this
-                # band — emit the countable sentinel (see docstring)
+                # band — emit the countable sentinel (see docstring) and
+                # remember the refusal so a replay is a no-op
+                refused.add(nid)
                 out["id_a"].append(nid)
                 out["id_b"].append(nid)
                 out["jaccard"].append(-1.0)
                 out["capped"].append(True)
-        state.update((ids, [sorted(s) for s in sets]))
+        state.update((ids, [sorted(s) for s in sets], sorted(refused)))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out)
@@ -301,7 +315,8 @@ def stateful_minhash_pairs(
         outputStructType=(
             f"id_a {id_sql}, id_b {id_sql}, jaccard double, capped boolean"
         ),
-        stateStructType=f"ids array<{id_sql}>, shs array<array<string>>",
+        stateStructType=(f"ids array<{id_sql}>, shs array<array<string>>, "
+                         f"refused array<{id_sql}>"),
         outputMode="update",
         timeoutConf=timeout_conf,
     )
