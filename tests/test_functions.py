@@ -377,3 +377,18 @@ def test_sampling_plans_have_no_exchange(spark):
                 train_test_split(df, 0.2)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_simhash_keeps_tokenless_docs(spark):
+    """Round-6 vote restructure (explode_outer): docs whose text
+    tokenizes to an empty array (blank/whitespace) must still get a
+    fingerprint (simhash 0) and pair with each other — exactly the
+    aggregate-over-empty-array behavior of the previous form."""
+    df = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, "regular words here")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_dedup(df, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0  # both simhash 0 -> identical
+    assert all(3 not in k for k in got)  # real doc pairs with neither
